@@ -46,12 +46,18 @@ def vee(M: jnp.ndarray) -> jnp.ndarray:
 
 
 def _sinc_coeffs(theta2: jnp.ndarray):
-    """Stable A=sin(t)/t, B=(1-cos t)/t^2, C=(t-sin t)/t^3 from theta^2."""
-    theta = jnp.sqrt(jnp.maximum(theta2, _EPS * _EPS))
+    """Stable A=sin(t)/t, B=(1-cos t)/t^2, C=(t-sin t)/t^3 from theta^2.
+
+    Denominators are sanitized INSIDE the untaken branch (not just masked by
+    `where`) so reverse-mode AD through the small-angle case stays NaN-free:
+    `where` hides a 0/0 forward value but not its cotangent.
+    """
     small = theta2 < 1e-8
+    t2_safe = jnp.where(small, jnp.ones_like(theta2), theta2)
+    theta = jnp.sqrt(t2_safe)
     A = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
-    B = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2)
-    C = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0, (1.0 - A) / theta2)
+    B = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / t2_safe)
+    C = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0, (1.0 - A) / t2_safe)
     return A, B, C
 
 
