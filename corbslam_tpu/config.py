@@ -18,7 +18,9 @@ from dataclasses import dataclass, field
 class OrbConfig:
     """ORB extractor budget (ref: Examples/Stereo/KITTI00-02.yaml ORBextractor.*)."""
 
-    n_features: int = 2000
+    # Reference budget is 2000 (KITTI yaml); 2048 tiles the MXU/VPU cleanly
+    # and must equal CapacityConfig.max_features (keyframe SoA row width).
+    n_features: int = 2048
     n_levels: int = 8
     scale_factor: float = 1.2
     ini_th_fast: float = 20.0
@@ -76,8 +78,9 @@ class MappingConfig:
     recent_point_min_found_ratio: float = 0.25  # MapPointCulling:171
     recent_point_max_unobserved_kfs: int = 2
     triangulation_max_reproj_chi2: float = 5.991
-    local_ba_window: int = 20  # covisible KFs in local BA
-    local_ba_iters: int = 10
+    local_ba_window: int = 16  # covisible KFs in local BA
+    local_ba_iters: int = 8
+    local_ba_cg_iters: int = 32
     kf_cull_redundancy: float = 0.9  # KeyFrameCulling:590 (90% rule)
 
 

@@ -1,0 +1,213 @@
+"""Host-side tracking state machine.
+
+The control-flow half of the reference's `Tracking` thread (ref:
+corbslam_client/src/Tracking.cc:266 Track(), :414 OK/LOST state machine,
+:995 NeedNewKeyFrame): a small Python object that sequences the jitted
+device programs in frontend/track_ops.py and mapping/local_mapping.py.
+All numerics live on device; the host only branches on scalar summaries
+(inlier counts, state flags) — the TPU-native replacement for the
+reference's 6 mutex-coupled threads (SURVEY.md §2.4 P1).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from enum import Enum
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SlamConfig
+from ..geometry import camera as cam_mod
+from ..geometry import se3
+from ..mapping import local_mapping
+from ..mapstate import mapstate as ms
+from . import frame as frame_mod
+from . import track_ops
+
+
+class TrackState(Enum):
+    NOT_INITIALIZED = 0
+    OK = 1
+    LOST = 2
+
+
+@dataclass
+class TrackerStats:
+    n_frames: int = 0
+    n_keyframes: int = 0
+    inliers_history: list = field(default_factory=list)
+
+
+class StereoTracker:
+    """Single-client stereo/RGB-D tracking + local mapping pipeline.
+
+    Equivalent scope: System + Tracking + LocalMapping for the stereo path
+    (the minimum end-to-end slice of SURVEY.md §7.2 step 5).
+    """
+
+    def __init__(self, cam: cam_mod.Intrinsics, cfg: SlamConfig, client: int = 0):
+        self.cam = cam
+        self.cfg = cfg
+        self.client = client
+        self.map = ms.empty(cfg.capacity)
+        self.state = TrackState.NOT_INITIALIZED
+        self.last_frame: Optional[frame_mod.FrameData] = None
+        self.velocity = jnp.eye(4)  # T_cur_last
+        self.last_kf_frame_id = 0
+        self.frame_id = 0
+        self.ref_kf = 0
+        self.ref_obs = 0  # tracked-point count when the last KF was made
+        self.scales = jnp.asarray(cfg.orb.scales(), jnp.float32)
+        self.trajectory: list = []  # (timestamp, Tcw np [4,4])
+        self.stats = TrackerStats()
+        self.mapping_queue_enabled = True
+
+    # ------------------------------------------------------------------
+    def process_stereo(self, img_l, img_r, timestamp: float):
+        cur = frame_mod.build_frame_stereo(img_l, img_r, self.cam, self.cfg.orb)
+        return self._track(cur, timestamp)
+
+    def process_rgbd(self, img, depth_map, timestamp: float):
+        cur = frame_mod.build_frame_rgbd(img, depth_map, self.cam, self.cfg.orb)
+        return self._track(cur, timestamp)
+
+    # ------------------------------------------------------------------
+    def _track(self, cur: frame_mod.FrameData, timestamp: float):
+        if self.state == TrackState.NOT_INITIALIZED:
+            ok = self._initialize(cur, timestamp)
+            self.frame_id += 1
+            return self.current_pose()
+
+        # 1. Motion-model tracking (fallback: reference keyframe).
+        T_pred = se3.compose(self.velocity, self.last_frame.Tcw)
+        Tcw, mp_idx, n_inl = track_ops.track_motion_model(
+            self.cam, self.map.mp.pos, self.last_frame, cur, T_pred,
+            self.scales, radius=self.cfg.matcher.search_radius_motion,
+        )
+        n_inl = int(n_inl)
+        if n_inl < self.cfg.tracking.min_inliers_motion:
+            Tcw, mp_idx, n_inl = track_ops.track_reference_kf(
+                self.cam, self.map, self.ref_kf, cur, self.last_frame.Tcw
+            )
+            n_inl = int(n_inl)
+        if n_inl < self.cfg.tracking.min_inliers_motion:
+            self.state = TrackState.LOST
+            # Keep last pose; relocalization handled by place recognition
+            # (place/ + reloc path) once the KF database is wired in.
+            self._finish_frame(cur._replace(Tcw=Tcw, mp_idx=mp_idx), timestamp, lost=True)
+            return self.current_pose()
+
+        # 2. Local-map tracking.
+        res = track_ops.track_local_map(
+            self.cam, self.map, cur, Tcw, mp_idx, self.cfg
+        )
+        n_local = int(res.n_inliers)
+        cur = cur._replace(Tcw=res.Tcw, mp_idx=res.mp_idx)
+        self.ref_kf = int(res.ref_kf)
+        self.map = track_ops.update_tracking_stats(
+            self.map, res.visible_rows, res.visible_mask, res.found_rows_mask
+        )
+
+        if n_local < self.cfg.tracking.min_tracked_points // 2:
+            self.state = TrackState.LOST
+            self._finish_frame(cur, timestamp, lost=True)
+            return self.current_pose()
+        self.state = TrackState.OK
+
+        # 3. Keyframe policy + mapping step.
+        if self._need_new_keyframe(cur, n_local):
+            self._create_keyframe(cur, timestamp, n_local)
+
+        self._finish_frame(cur, timestamp)
+        self.stats.inliers_history.append(n_local)
+        return self.current_pose()
+
+    # ------------------------------------------------------------------
+    def _initialize(self, cur: frame_mod.FrameData, timestamp: float) -> bool:
+        """StereoInitialization (ref: Tracking.cc:509): first frame with
+        enough depth features seeds the map at the origin."""
+        n_depth = int(jnp.sum((cur.depth > 0) & cur.fvalid))
+        if n_depth < 100:
+            return False
+        cur = cur._replace(Tcw=jnp.eye(4))
+        self.map, kf_row, mp_idx = track_ops.insert_keyframe_with_points(
+            self.cam, self.map, cur, self.frame_id, timestamp,
+            self.cfg, client=self.client,
+        )
+        cur = cur._replace(mp_idx=mp_idx)
+        self.ref_kf = int(kf_row)
+        self.state = TrackState.OK
+        self.last_kf_frame_id = self.frame_id
+        self._finish_frame(cur, timestamp)
+        self.stats.n_keyframes += 1
+        return True
+
+    def _need_new_keyframe(self, cur, n_tracked: int) -> bool:
+        """NeedNewKeyFrame (ref: Tracking.cc:995): max-frame gap, or the
+        tracked count fell below thRefRatio of what the last keyframe saw.
+        The baseline is the tracked count AT keyframe creation (a cheap,
+        honest stand-in for the reference's nRefMatches-with-minObs — raw
+        per-KF feature counts include every freshly spawned point and
+        would trigger a keyframe every frame)."""
+        cfgt = self.cfg.tracking
+        frames_since_kf = self.frame_id - self.last_kf_frame_id
+        if frames_since_kf < cfgt.min_frames_between_kf + 1:
+            return False
+        if frames_since_kf >= cfgt.max_frames_between_kf:
+            return True
+        if n_tracked < 50:
+            return True
+        if (
+            n_tracked < cfgt.kf_ref_ratio_stereo * max(self.ref_obs, 1)
+            and n_tracked > 15
+        ):
+            return True
+        return False
+
+    def _create_keyframe(self, cur, timestamp: float, n_tracked: int = 0):
+        self.ref_obs = max(n_tracked, 100)
+        self.map, kf_row, mp_idx = track_ops.insert_keyframe_with_points(
+            self.cam, self.map, cur, self.frame_id, timestamp,
+            self.cfg, client=self.client,
+        )
+        cur = cur._replace(mp_idx=mp_idx)
+        self.last_kf_frame_id = self.frame_id
+        self.ref_kf = int(kf_row)
+        self.stats.n_keyframes += 1
+        if self.mapping_queue_enabled:
+            self._mapping_step(int(kf_row))
+
+    def _mapping_step(self, kf_row: int):
+        """The per-keyframe LocalMapping pipeline (ref: LocalMapping.cc:44).
+        Fusion + local BA run per keyframe; the full-map maintenance passes
+        (culling, normal/descriptor refresh) alternate keyframes — they are
+        whole-map reductions whose freshness is not frame-critical."""
+        self.map = local_mapping.fuse_into_kf(self.cam, self.map, kf_row, self.cfg)
+        if self.stats.n_keyframes % 2 == 0:
+            self.map = local_mapping.cull_map_points(self.map, kf_row, self.cfg)
+            self.map = local_mapping.refresh_point_geometry(self.map, self.cfg)
+        if self.stats.n_keyframes >= 3:
+            self.map = local_mapping.local_ba(self.cam, self.map, kf_row, self.cfg)
+
+    def _finish_frame(self, cur, timestamp: float, lost: bool = False):
+        if self.last_frame is not None and not lost:
+            self.velocity = se3.compose(cur.Tcw, se3.inverse(self.last_frame.Tcw))
+        self.last_frame = cur
+        self.trajectory.append((timestamp, np.asarray(cur.Tcw)))
+        self.frame_id += 1
+        self.stats.n_frames += 1
+
+    # ------------------------------------------------------------------
+    def current_pose(self) -> np.ndarray:
+        return self.trajectory[-1][1] if self.trajectory else np.eye(4)
+
+    def trajectory_kitti(self) -> np.ndarray:
+        """[T, 3, 4] Twc rows — the SaveTrajectoryKITTI format
+        (ref: System.cc:350)."""
+        out = []
+        for _, Tcw in self.trajectory:
+            Twc = np.asarray(se3.inverse(jnp.asarray(Tcw)))
+            out.append(Twc[:3, :4])
+        return np.stack(out) if out else np.zeros((0, 3, 4))

@@ -26,23 +26,26 @@ class Intrinsics(NamedTuple):
 
     ``bf`` is baseline*fx in pixels (the reference's ``mbf``); 0 for mono.
     ``dist`` is (k1, k2, p1, p2, k3) — zeros for pre-rectified input.
+
+    Holds plain Python floats (hashable) so a camera can be a STATIC jit
+    argument: intrinsics become compile-time constants in every program,
+    and each camera geometry compiles exactly once.
     """
 
-    fx: jnp.ndarray
-    fy: jnp.ndarray
-    cx: jnp.ndarray
-    cy: jnp.ndarray
-    bf: jnp.ndarray
-    dist: jnp.ndarray  # [5]
+    fx: float
+    fy: float
+    cx: float
+    cy: float
+    bf: float
+    dist: tuple  # (k1, k2, p1, p2, k3)
     width: int
     height: int
 
     @staticmethod
     def create(fx, fy, cx, cy, bf=0.0, dist=None, width=1241, height=376):
-        f32 = jnp.float32
         return Intrinsics(
-            f32(fx), f32(fy), f32(cx), f32(cy), f32(bf),
-            jnp.zeros(5, jnp.float32) if dist is None else jnp.asarray(dist, jnp.float32),
+            float(fx), float(fy), float(cx), float(cy), float(bf),
+            (0.0,) * 5 if dist is None else tuple(float(d) for d in dist),
             int(width), int(height),
         )
 

@@ -77,12 +77,21 @@ def so3_log(R: jnp.ndarray) -> jnp.ndarray:
     """
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
     cos_t = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_t)
     w = vee(R - jnp.swapaxes(R, -1, -2)) * 0.5  # sin(theta) * axis
 
-    # Generic: phi = theta / sin(theta) * w  (stable for theta < ~3)
-    sin_t = jnp.sin(theta)
-    scale = jnp.where(theta < 1e-6, 1.0 + theta * theta / 6.0, theta / jnp.maximum(sin_t, _EPS))
+    # Gradient-safe theta/scale: arccos'(1) = inf, so the small-angle branch
+    # must never see cos_t ~ 1 even in its UNTAKEN arccos (autodiff pulls
+    # cotangents through untaken where-branches). Small branch is the smooth
+    # series scale = theta/sin(theta) ~ 1 + (1 - cos)/3 in cos_t directly.
+    small = cos_t > 1.0 - 1e-6
+    cos_gen = jnp.where(small, 0.5, cos_t)
+    theta_gen = jnp.arccos(cos_gen)
+    theta = jnp.where(small, jnp.sqrt(jnp.maximum(2.0 * (1.0 - cos_t), 1e-24)), theta_gen)
+    scale = jnp.where(
+        small,
+        1.0 + (1.0 - cos_t) / 3.0,
+        theta_gen / jnp.maximum(jnp.sin(theta_gen), _EPS),
+    )
     phi_generic = scale[..., None] * w
 
     # Near pi: axis from diagonal of (R + I)/2 = axis axis^T cos-corrected
@@ -90,7 +99,7 @@ def so3_log(R: jnp.ndarray) -> jnp.ndarray:
     # diagonal axis_i^2. Recover magnitudes then fix signs from off-diagonals.
     diag = jnp.stack([R[..., 0, 0], R[..., 1, 1], R[..., 2, 2]], axis=-1)
     axis2 = jnp.maximum((diag - cos_t[..., None]) / jnp.maximum(1.0 - cos_t[..., None], _EPS), 0.0)
-    axis = jnp.sqrt(axis2)
+    axis = jnp.sqrt(jnp.maximum(axis2, 1e-24))  # sqrt'(0)=inf guard for AD
     # Sign fix: choose the largest component positive, then use off-diagonal
     # sums (R+R^T)/2 off-diagonals = (1-cos) a_i a_j to sign the rest.
     Rsym = (R + jnp.swapaxes(R, -1, -2)) * 0.5

@@ -1,0 +1,256 @@
+"""Local mapping: point culling, neighbor triangulation, local BA, keyframe
+culling — the device programs of the reference's `LocalMapping` thread
+(ref: corbslam_client/src/LocalMapping.cc: MapPointCulling :161,
+CreateNewMapPoints :190, SearchInNeighbors :422, local BA :79,
+KeyFrameCulling :590).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SlamConfig
+from ..geometry import camera as cam_mod
+from ..geometry import se3
+from ..mapstate import covisibility as covis
+from ..mapstate import mapstate as ms
+from ..optim import ba
+
+NO_MP = ms.NO_MP
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
+def cull_map_points(m: ms.MapState, current_kf_row, cfg: SlamConfig) -> ms.MapState:
+    """MapPointCulling (ref: LocalMapping.cc:161): kill points whose
+    found/visible ratio is poor, or that gathered too few observations
+    within 2 keyframes of creation."""
+    obs = ms.observation_counts(m)
+    ratio = m.mp.n_found.astype(jnp.float32) / jnp.maximum(
+        m.mp.n_visible.astype(jnp.float32), 1.0
+    )
+    age = current_kf_row - m.mp.first_kf  # keyframe rows since creation
+    min_obs = 3  # stereo/RGB-D cnThObs (LocalMapping.cc:166)
+    bad_ratio = ratio < cfg.mapping.recent_point_min_found_ratio
+    young_underobserved = (age >= 2) & (age <= 4) & (obs < min_obs)
+    kill = m.mp.valid & ~m.mp.fixed & (bad_ratio | young_underobserved)
+    return ms.cull_map_points(m, kill)
+
+
+@partial(jax.jit, static_argnames=("cam", "cfg"), donate_argnums=(1,))
+def fuse_into_kf(
+    cam: cam_mod.Intrinsics, m: ms.MapState, kf_row, cfg: SlamConfig
+) -> ms.MapState:
+    """Duplicate-landmark fusion — `SearchInNeighbors` + `ORBmatcher::Fuse`
+    (ref: LocalMapping.cc:422, ORBmatcher.cc Fuse h81-84).
+
+    Projects the map points of covisible neighbor keyframes into the new
+    keyframe; a projected point that lands on a feature already bound to a
+    DIFFERENT map point reveals a duplicate pair, merged by relabeling every
+    observation of the newer point to the older one (the reference's
+    MapPoint::Replace, MapPoint.cc:~250). A hit on an unbound feature adds
+    an observation. Without this, every keyframe re-spawns landmarks the
+    matcher failed to associate and the ratio test then rejects both twins —
+    tracking decays monotonically.
+    """
+    from ..matching import matcher
+
+    scales = jnp.asarray(cfg.orb.scales(), jnp.float32)
+    # Candidate points: seen by covisible neighbors, not already bound to
+    # this keyframe.
+    w = covis.covis_weights_single(m, kf_row) * m.kf.valid
+    w = w.at[kf_row].set(0)
+    nb_vals, nb_rows = jax.lax.top_k(w, cfg.capacity.local_window_kfs)
+    nb_ok = nb_vals > 0
+    pmask = covis.local_map_mask(m, nb_rows, nb_ok)
+    pmask &= ~covis.point_mask_of_kf(m, kf_row)
+    rows, rows_ok = covis.compact_indices(pmask, m.kf.n_features * 2)
+
+    Tcw = m.kf.Tcw[kf_row]
+    res, _ = matcher.search_by_projection_points(
+        cam, Tcw,
+        m.mp.pos[rows], m.mp.desc[rows], rows_ok,
+        m.mp.min_dist[rows] * 0.5, m.mp.max_dist[rows] * 2.0, m.mp.normal[rows],
+        m.kf.xy[kf_row], m.kf.octave[kf_row], m.kf.desc[kf_row], m.kf.fvalid[kf_row],
+        scales, cfg.orb.scale_factor,
+        radius=3.0, max_dist=cfg.matcher.th_low, ratio=1.0,
+        view_cos_limit=-1.0,
+    )
+    # Per-feature: projected point row (or -1).
+    hit = jnp.where(res.idx >= 0, rows[jnp.clip(res.idx, 0)], NO_MP)
+    cur = m.kf.mp_idx[kf_row]
+
+    # Case 1: feature unbound -> bind to the projected point.
+    new_idx = jnp.where((cur == NO_MP) & (hit >= 0), hit, cur)
+
+    # Case 2: feature bound to a different point -> duplicate pair.
+    dup = (cur >= 0) & (hit >= 0) & (cur != hit)
+    older = jnp.minimum(cur, hit)
+    newer = jnp.maximum(cur, hit)
+    # Relabel map: id -> replacement (one merge step per call).
+    relabel = jnp.arange(m.mp.capacity, dtype=jnp.int32)
+    relabel = relabel.at[jnp.where(dup, newer, 0)].set(
+        jnp.where(dup, older, relabel[0])
+    )
+    # Kill the newer twins, fold their found/visible counters into the
+    # survivor (MapPoint::Replace keeps the statistics).
+    kill = jnp.zeros(m.mp.capacity, bool).at[jnp.where(dup, newer, 0)].max(dup)
+    add_vis = jax.ops.segment_sum(
+        jnp.where(dup, m.mp.n_visible[jnp.clip(newer, 0)], 0), jnp.where(dup, older, 0),
+        m.mp.capacity,
+    )
+    add_fnd = jax.ops.segment_sum(
+        jnp.where(dup, m.mp.n_found[jnp.clip(newer, 0)], 0), jnp.where(dup, older, 0),
+        m.mp.capacity,
+    )
+    mp = m.mp._replace(
+        valid=m.mp.valid & ~kill,
+        n_visible=m.mp.n_visible + add_vis,
+        n_found=m.mp.n_found + add_fnd,
+    )
+    # Apply relabel + detach killed points across the whole observation table.
+    all_idx = m.kf.mp_idx.at[kf_row].set(new_idx)
+    relabeled = jnp.where(all_idx >= 0, relabel[jnp.clip(all_idx, 0)], NO_MP)
+    return m._replace(kf=m.kf._replace(mp_idx=relabeled), mp=mp)
+
+
+class LocalBAInputs(NamedTuple):
+    kf_rows: jnp.ndarray   # [W] window keyframe rows
+    kf_free: jnp.ndarray   # [W] optimized (True) vs fixed frontier (False)
+    kf_ok: jnp.ndarray     # [W] slot used
+    mp_rows: jnp.ndarray   # [P] local point rows
+    mp_ok: jnp.ndarray     # [P]
+
+
+def select_local_ba_window(
+    m: ms.MapState, kf_row, window: int, frontier: int
+) -> LocalBAInputs:
+    """Window = current KF + top covisible; frontier = other observers of
+    the local points, held fixed (ref: Optimizer.cc:491-545 lLocalKeyFrames
+    / lFixedCameras)."""
+    w = covis.covis_weights_single(m, kf_row)
+    w = w * m.kf.valid  # only live KFs
+    w = w.at[kf_row].set(jnp.int32(2**30))  # current KF always first
+    win_vals, win_rows = jax.lax.top_k(w, window)
+    win_ok = win_vals > 0
+
+    pmask = covis.local_map_mask(m, win_rows, win_ok)
+    mp_rows, mp_ok = covis.compact_indices(pmask, m.kf.n_features * 4)
+
+    # Frontier: keyframes observing local points but outside the window.
+    idx = m.kf.mp_idx
+    contrib = (idx >= 0) & m.kf.fvalid & m.kf.valid[:, None]
+    sees_local = jnp.where(contrib, pmask[jnp.clip(idx, 0)], False)
+    n_sees = jnp.sum(sees_local, axis=1).astype(jnp.int32)
+    in_window = jnp.zeros(m.kf.capacity, bool).at[win_rows].max(win_ok)
+    frontier_w = jnp.where(in_window, 0, n_sees)
+    fr_vals, fr_rows = jax.lax.top_k(frontier_w, frontier)
+    fr_ok = fr_vals > 0
+
+    kf_rows = jnp.concatenate([win_rows, fr_rows])
+    kf_free = jnp.concatenate(
+        [jnp.ones(window, bool), jnp.zeros(frontier, bool)]
+    )
+    kf_ok = jnp.concatenate([win_ok, fr_ok])
+    # Keyframes marked fixed (foreign/server) are never optimized
+    # (ref: Optimizer.cc:1051 skips getFixed() KFs on writeback).
+    kf_free &= ~m.kf.fixed[kf_rows]
+    # Gauge: if the window contains row 0 (first KF), it stays fixed; and if
+    # nothing at all is fixed (early map, no frontier) pin the oldest window
+    # KF (the reference's "fix lowest-id KF" fallback).
+    kf_free &= kf_rows != 0
+    any_fixed = jnp.any((~kf_free) & kf_ok)
+    oldest = jnp.argmin(jnp.where(kf_ok, kf_rows, jnp.int32(2**30)))
+    kf_free = jnp.where(
+        any_fixed, kf_free, kf_free & (jnp.arange(kf_rows.shape[0]) != oldest)
+    )
+    return LocalBAInputs(kf_rows, kf_free, kf_ok, mp_rows, mp_ok)
+
+
+def build_ba_problem(
+    m: ms.MapState, sel: LocalBAInputs, cfg: SlamConfig
+) -> ba.BAProblem:
+    """Flatten the window's observations into a BAProblem. Observation
+    capacity is (W+Wf) * F with a validity mask."""
+    W = sel.kf_rows.shape[0]
+    F = m.kf.n_features
+    P = sel.mp_rows.shape[0]
+
+    # Inverse point mapping: global row -> compact index.
+    inv = jnp.full(m.mp.capacity, -1, jnp.int32)
+    inv = inv.at[sel.mp_rows].set(
+        jnp.where(sel.mp_ok, jnp.arange(P, dtype=jnp.int32), -1)
+    )
+
+    kf_idx = jnp.repeat(jnp.arange(W, dtype=jnp.int32), F)      # [W*F]
+    mp_global = m.kf.mp_idx[sel.kf_rows].reshape(-1)            # [W*F]
+    fv = m.kf.fvalid[sel.kf_rows].reshape(-1)
+    ok = (mp_global >= 0) & fv & jnp.repeat(sel.kf_ok, F)
+    mp_compact = jnp.where(ok, inv[jnp.clip(mp_global, 0)], -1)
+    ok &= mp_compact >= 0
+
+    xy = m.kf.xy[sel.kf_rows].reshape(-1, 2)
+    ur = m.kf.uright[sel.kf_rows].reshape(-1)
+    octv = m.kf.octave[sel.kf_rows].reshape(-1)
+    inv_sigma2 = 1.0 / (cfg.orb.scale_factor ** (2.0 * octv.astype(jnp.float32)))
+    uvr = jnp.concatenate([xy, ur[:, None]], axis=-1)
+
+    return ba.BAProblem(
+        Tcw=m.kf.Tcw[sel.kf_rows],
+        pose_fixed=~(sel.kf_free & sel.kf_ok),
+        X=m.mp.pos[sel.mp_rows],
+        point_fixed=~sel.mp_ok | m.mp.fixed[sel.mp_rows],
+        obs_cam=kf_idx,
+        obs_point=jnp.clip(mp_compact, 0),
+        obs_uvr=uvr,
+        obs_inv_sigma2=inv_sigma2,
+        obs_stereo=ur > 0,
+        obs_valid=ok,
+    )
+
+
+@partial(jax.jit, static_argnames=("cam", "cfg"), donate_argnums=(1,))
+def local_ba(
+    cam: cam_mod.Intrinsics, m: ms.MapState, kf_row, cfg: SlamConfig
+):
+    """LocalBundleAdjustment (ref: Optimizer.cc:487): covisible window +
+    fixed frontier, robust then plain LM, writeback + outlier detachment."""
+    sel = select_local_ba_window(
+        m, kf_row, cfg.mapping.local_ba_window, cfg.mapping.local_ba_window // 2
+    )
+    prob = build_ba_problem(m, sel, cfg)
+    res = ba.optimize(
+        cam, prob,
+        n_iters=cfg.mapping.local_ba_iters,
+        cg_iters=cfg.mapping.local_ba_cg_iters,
+        huber_iters=3,
+    )
+
+    # Write back poses + points.
+    wrote_T = jnp.where(
+        (sel.kf_free & sel.kf_ok)[:, None, None], res.Tcw, m.kf.Tcw[sel.kf_rows]
+    )
+    kf = m.kf._replace(Tcw=m.kf.Tcw.at[sel.kf_rows].set(wrote_T))
+    wrote_X = jnp.where(
+        (sel.mp_ok & ~m.mp.fixed[sel.mp_rows])[:, None], res.X, m.mp.pos[sel.mp_rows]
+    )
+    mp = m.mp._replace(pos=m.mp.pos.at[sel.mp_rows].set(wrote_X))
+    m = m._replace(kf=kf, mp=mp)
+
+    # Detach outlier observations (ref: Optimizer.cc:776-806 erases edges).
+    W = sel.kf_rows.shape[0]
+    F = m.kf.n_features
+    out = (~res.inlier) & prob.obs_valid          # [W*F]
+    out2d = out.reshape(W, F)
+    cur_idx = m.kf.mp_idx[sel.kf_rows]
+    new_idx = jnp.where(out2d, NO_MP, cur_idx)
+    m = m._replace(kf=m.kf._replace(mp_idx=m.kf.mp_idx.at[sel.kf_rows].set(new_idx)))
+    return m
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
+def refresh_point_geometry(m: ms.MapState, cfg: SlamConfig) -> ms.MapState:
+    return ms.update_point_geometry(m)

@@ -1,0 +1,120 @@
+"""Keyframe database: BoW retrieval for loop detection, relocalization and
+server-side map-fusion candidates.
+
+Replaces `KeyFrameDatabase` (ref: corbslam_client/src/KeyFrameDatabase.cc:
+inverted file `mvInvertedFile` of LightKeyFrame lists; DetectLoopCandidates
+:73, DetectRelocalizationCandidates :297, CORB's
+DetectMapFusionCandidatesFromDB :189). The inverted file is a CPU trick for
+sparse scoring; here the database is a dense [N, W] BoW matrix on device
+and every query is one fused score+mask+top-k program over all keyframes —
+including the covisibility-group score accumulation the reference does with
+pointer walks (KeyFrameDatabase.cc:118-160).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..mapstate import covisibility as covis
+from ..mapstate import mapstate as ms
+from . import vocab as vocab_mod
+
+
+class BowDatabase(NamedTuple):
+    """Dense BoW matrix aligned with the keyframe SoA rows."""
+
+    bow: jnp.ndarray    # [N, W] f32 L1-normalized tf-idf
+    valid: jnp.ndarray  # [N]
+
+    @staticmethod
+    def empty(n_kf: int, n_words: int):
+        return BowDatabase(
+            bow=jnp.zeros((n_kf, n_words), jnp.float32),
+            valid=jnp.zeros(n_kf, bool),
+        )
+
+    def add(self, row, v: jnp.ndarray) -> "BowDatabase":
+        return BowDatabase(
+            bow=self.bow.at[row].set(v), valid=self.valid.at[row].set(True)
+        )
+
+    def remove(self, kill: jnp.ndarray) -> "BowDatabase":
+        return self._replace(valid=self.valid & ~kill)
+
+
+def detect_loop_candidates(
+    db: BowDatabase,
+    m: ms.MapState,
+    query_row,
+    query_bow: jnp.ndarray,
+    k: int = 8,
+    min_covis_weight: int = 15,
+):
+    """Loop candidates for a keyframe — DetectLoopCandidates
+    (KeyFrameDatabase.cc:73). Scored against all keyframes except the
+    query's covisible neighbors; `minScore` is the worst BoW similarity
+    among those neighbors (LoopClosing.cc:118-126); candidates below
+    0.75 * best accumulated-group score are cut (KeyFrameDatabase.cc:170).
+
+    Returns (rows [k], ok [k]).
+    """
+    scores = vocab_mod.l1_scores(query_bow, db.bow)  # [N]
+    w = covis.covis_weights_single(m, query_row)
+    neighbor = (w >= min_covis_weight) & m.kf.valid
+    neighbor = neighbor.at[query_row].set(True)
+    # minScore over connected keyframes
+    neigh_scores = jnp.where(neighbor.at[query_row].set(False), scores, jnp.inf)
+    min_score = jnp.min(neigh_scores)
+    min_score = jnp.where(jnp.isinf(min_score), 0.0, min_score)
+
+    eligible = db.valid & m.kf.valid & ~neighbor & (scores >= min_score)
+
+    # Covisibility-group accumulation: each candidate's score becomes the sum
+    # over its top-10 covisible keyframes that are also eligible.
+    W = covis.covis_matrix(m)  # [N, N] shared-point counts
+    covis_mask = (W >= min_covis_weight) & m.kf.valid[None, :]
+    covis_mask = covis_mask | jnp.eye(W.shape[0], dtype=bool)
+    acc = jnp.sum(
+        jnp.where(covis_mask & eligible[None, :], scores[None, :], 0.0), axis=1
+    )
+    acc = jnp.where(eligible, acc, -jnp.inf)
+    best_acc = jnp.max(acc)
+    keep = eligible & (acc >= 0.75 * best_acc)
+
+    key = jnp.where(keep, scores, -jnp.inf)
+    vals, rows = jax.lax.top_k(key, k)
+    return rows, jnp.isfinite(vals)
+
+
+def detect_relocalization_candidates(
+    db: BowDatabase,
+    m: ms.MapState,
+    query_bow: jnp.ndarray,
+    k: int = 8,
+):
+    """Relocalization candidates for a LOST frame —
+    DetectRelocalizationCandidates (KeyFrameDatabase.cc:297): like loop
+    detection but with no covisibility exclusion and no minScore floor."""
+    scores = vocab_mod.l1_scores(query_bow, db.bow)
+    eligible = db.valid & m.kf.valid
+    key = jnp.where(eligible, scores, -jnp.inf)
+    vals, rows = jax.lax.top_k(key, k)
+    # 0.75 * best cut (KeyFrameDatabase.cc:382)
+    ok = jnp.isfinite(vals) & (vals >= 0.75 * vals[0])
+    return rows, ok
+
+
+def detect_map_fusion_candidates(
+    db: BowDatabase,
+    m: ms.MapState,
+    query_bow: jnp.ndarray,
+    k: int = 8,
+):
+    """Server-side inter-map overlap candidates — the CORB addition
+    `DetectMapFusionCandidatesFromDB` (KeyFrameDatabase.cc:189): a
+    relocalization-style query against another client's sub-map (no
+    own-map covisibility to exclude)."""
+    return detect_relocalization_candidates(db, m, query_bow, k)

@@ -1,0 +1,119 @@
+"""Bag-of-binary-words vocabulary as dense TPU matmuls.
+
+Replaces DBoW2's hierarchical vocabulary (ref:
+corbslam_client/Thirdparty/DBoW2/DBoW2/TemplatedVocabulary.h: k=10 branch,
+L=6 depth tree walked per descriptor with per-level Hamming argmin;
+FORB.cpp mean/distance). The tree exists to make CPU lookup sublinear; on
+the MXU a FLAT argmin over all W words is one int8 matmul
+([F, 256] x [256, W] = a few GMACs), so the vocabulary here is simply:
+
+    words:  [W, 256] int8 bit centers   (+ packed uint8 [W, 32] mirror)
+    idf:    [W] f32 inverse document frequency weights
+
+Training is k-majority (binary k-means: Hamming assignment + per-bit
+majority vote centers), the same primitive DBoW2 uses per tree node
+(TemplatedVocabulary::HKmeansStep), run flat over all W clusters at once.
+
+BoW vectors are L1-normalized tf-idf histograms [W] f32; similarity is the
+DBoW2 L1 score s(v, w) = 1 - 0.5*|v - w|_1 = sum_i min(v_i, w_i) for
+normalized vectors (ScoringObject.cpp L1Scoring) — evaluated dense for
+whole keyframe databases at once (place/database.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import descriptors as D
+
+
+class Vocabulary(NamedTuple):
+    word_bits: jnp.ndarray  # [W, 256] int8 in {0, 1}
+    idf: jnp.ndarray        # [W] f32
+
+    @property
+    def n_words(self):
+        return self.word_bits.shape[0]
+
+
+def _assign(desc_bits: jnp.ndarray, word_bits: jnp.ndarray) -> jnp.ndarray:
+    """[N, 256] x [W, 256] -> nearest word id [N] by Hamming distance."""
+    d = D.hamming_matrix_bits(desc_bits, word_bits)
+    return jnp.argmin(d, axis=1)
+
+
+@partial(jax.jit, static_argnames=("n_words", "n_iters"))
+def _kmajority(desc_bits: jnp.ndarray, init_words: jnp.ndarray, n_words: int, n_iters: int):
+    """Binary k-means: Hamming assignment + majority-vote centers."""
+
+    def step(words, _):
+        assign = _assign(desc_bits, words)
+        ones = jax.ops.segment_sum(
+            desc_bits.astype(jnp.int32), assign, n_words
+        )  # [W, 256] count of 1-bits
+        counts = jax.ops.segment_sum(
+            jnp.ones(desc_bits.shape[0], jnp.int32), assign, n_words
+        )
+        maj = (2 * ones > counts[:, None]).astype(jnp.int8)
+        # Empty clusters keep their previous center.
+        words = jnp.where((counts > 0)[:, None], maj, words)
+        return words, counts
+
+    words, counts = jax.lax.scan(step, init_words, None, length=n_iters)
+    return words, counts
+
+
+def train(
+    descriptors: jnp.ndarray,  # [N, 32] uint8 packed
+    n_words: int = 4096,
+    n_iters: int = 10,
+    seed: int = 0,
+) -> Vocabulary:
+    """Train a flat W-word vocabulary from packed descriptors.
+
+    Equivalent capability to DBoW2 vocabulary creation
+    (TemplatedVocabulary::create); idf from the training corpus
+    (idf_i = log(N / n_docs_with_word_i) approximated per descriptor)."""
+    bits = D.unpack_bits(descriptors)
+    n = bits.shape[0]
+    key = jax.random.PRNGKey(seed)
+    init_idx = jax.random.choice(key, n, (n_words,), replace=n < n_words)
+    init = bits[init_idx]
+    words, counts = _kmajority(bits, init, n_words, n_iters)
+    freq = counts[-1] if counts.ndim > 1 else counts
+    n_total = jnp.maximum(jnp.sum(freq), 1)
+    idf = jnp.log(n_total.astype(jnp.float32) / jnp.maximum(freq.astype(jnp.float32), 1.0))
+    return Vocabulary(word_bits=words, idf=idf)
+
+
+def transform(
+    voc: Vocabulary,
+    desc: jnp.ndarray,   # [F, 32] packed
+    valid: jnp.ndarray,  # [F]
+) -> jnp.ndarray:
+    """Descriptors -> L1-normalized tf-idf BoW vector [W] f32.
+
+    The reference's `Frame::ComputeBoW` / `KeyFrame::ComputeBoW`
+    (Frame.cc:~390, KeyFrame.cc:71) without the FeatureVector side table —
+    direct-index candidate pruning is unnecessary under dense matching.
+    """
+    bits = D.unpack_bits(desc)
+    w = _assign(bits, voc.word_bits)
+    hist = jax.ops.segment_sum(
+        valid.astype(jnp.float32), w, voc.n_words
+    )
+    v = hist * voc.idf
+    return v / jnp.maximum(jnp.sum(jnp.abs(v)), 1e-9)
+
+
+transform_batch = jax.vmap(transform, in_axes=(None, 0, 0))
+
+
+def l1_scores(query: jnp.ndarray, db: jnp.ndarray) -> jnp.ndarray:
+    """DBoW2 L1 similarity of one query [W] against a database [N, W]:
+    s = sum_i min(q_i, d_i) in [0, 1] for L1-normalized non-negative v."""
+    return jnp.sum(jnp.minimum(query[None, :], db), axis=1)

@@ -1,0 +1,121 @@
+"""End-to-end single-client pipeline tests on the synthetic planar world —
+the hermetic equivalent of the reference's KITTI replay validation
+(SURVEY.md §4, §7.2 step 5: minimum end-to-end slice)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from corbslam_tpu.config import (
+    CapacityConfig, MappingConfig, OrbConfig, SlamConfig, TrackingConfig,
+)
+from corbslam_tpu.frontend.tracking import StereoTracker, TrackState
+from corbslam_tpu.geometry import camera, se3
+from corbslam_tpu.io import synthetic, trajectory
+from corbslam_tpu.ops import stereo
+
+# Small camera + config so CPU tests stay fast.
+CAM = camera.Intrinsics.create(
+    fx=320.0, fy=320.0, cx=160.0, cy=120.0, bf=320.0 * 0.5,
+    width=320, height=240,
+)
+
+CFG = SlamConfig(
+    orb=OrbConfig(n_features=512, n_levels=4, cell_size=12),
+    tracking=TrackingConfig(th_depth=40.0, max_frames_between_kf=10),
+    mapping=MappingConfig(local_ba_window=8, local_ba_iters=6),
+    capacity=CapacityConfig(
+        max_keyframes=64, max_map_points=8192, max_features=512,
+        local_window_kfs=8, local_window_mps=2048,
+    ),
+)
+
+
+@pytest.fixture(scope="module")
+def world():
+    return synthetic.PlanarWorld(CAM, texture_size=2048, plane_dist=10.0, texture_scale=40.0)
+
+
+def gt_trajectory(n=20, dx=0.12, dyaw=0.004, tilt_pitch=0.35):
+    """Sideways+forward sweep keeping the plane in view.
+
+    The camera is pitched by `tilt_pitch` so scene depth VARIES across the
+    image: a fronto-parallel single plane leaves the x-translation/yaw error
+    mode nearly unobservable (t ~ d*theta ambiguity) and any tracker drifts
+    along it — a property of the scene, not the tracker.
+    """
+    tilt = se3.exp(jnp.asarray([0, 0, 0, tilt_pitch, 0, 0], jnp.float32))
+    poses = []
+    for i in range(n):
+        xi = jnp.asarray([-(i * dx), 0.0, -(i * 0.03), 0.0, i * dyaw, 0.0], jnp.float32)
+        poses.append(se3.compose(tilt, se3.exp(xi)))  # Tcw
+    return poses
+
+
+class TestStereoMatcherE2E:
+    def test_disparity_matches_ground_truth(self, world):
+        from corbslam_tpu.frontend import frame as frame_mod
+
+        Tcw = se3.identity()
+        img_l, img_r = world.render_stereo(Tcw)
+        f = frame_mod.build_frame_stereo(img_l, img_r, CAM, CFG.orb)
+        ok = np.asarray((f.depth > 0) & f.fvalid)
+        assert ok.sum() > 100
+        depth_gt = np.asarray(world.depth(Tcw))
+        xy = np.asarray(f.xy)[ok]
+        d_est = np.asarray(f.depth)[ok]
+        d_gt = depth_gt[
+            np.clip(np.round(xy[:, 1]).astype(int), 0, 239),
+            np.clip(np.round(xy[:, 0]).astype(int), 0, 319),
+        ]
+        rel_err = np.abs(d_est - d_gt) / d_gt
+        assert np.median(rel_err) < 0.05
+        assert (rel_err < 0.1).mean() > 0.7
+
+
+class TestTrackingE2E:
+    @pytest.fixture(scope="class")
+    def run(self, world):
+        tracker = StereoTracker(CAM, CFG)
+        gt = gt_trajectory(16)
+        for i, Tcw in enumerate(gt):
+            img_l, img_r = world.render_stereo(Tcw)
+            tracker.process_stereo(img_l, img_r, timestamp=i * 0.1)
+        return tracker, gt
+
+    def test_stays_tracked(self, run):
+        tracker, gt = run
+        assert tracker.state == TrackState.OK
+        assert tracker.stats.n_frames == len(gt)
+        assert tracker.stats.n_keyframes >= 2
+
+    def test_ate(self, run):
+        tracker, gt = run
+        est = [np.asarray(se3.inverse(jnp.asarray(T))) for _, T in tracker.trajectory]
+        gtw = [np.asarray(se3.inverse(T)) for T in gt]
+        # align=True removes the world-frame gauge (the tracker's world is
+        # its first camera frame; GT's world is the plane frame).
+        rmse = trajectory.ate_rmse(np.asarray(est), np.asarray(gtw), align=True)
+        # Scene scale: 10 m plane, ~1.9 m travel, 320px camera with 512
+        # features. ~2-3% drift expected at this scale.
+        assert rmse < 0.06, rmse
+
+    def test_map_health(self, run):
+        tracker, _ = run
+        m = tracker.map
+        assert int(m.n_kf) == tracker.stats.n_keyframes
+        n_valid_mp = int(jnp.sum(m.mp.valid))
+        assert n_valid_mp > 200
+        # Points lie near the plane z=10 after mapping the tracker frame
+        # (its world = first camera pose) back to the GT world frame.
+        pos = np.asarray(m.mp.pos)[np.asarray(m.mp.valid)]
+        tilt_inv = np.asarray(se3.inverse(gt_trajectory(1)[0]))
+        pos_w = pos @ tilt_inv[:3, :3].T + tilt_inv[:3, 3]
+        assert np.median(np.abs(pos_w[:, 2] - 10.0)) < 0.5
+
+    def test_trajectory_export(self, run, tmp_path):
+        tracker, _ = run
+        path = tmp_path / "traj.txt"
+        trajectory.save_kitti(str(path), tracker.trajectory_kitti())
+        rows = np.loadtxt(path)
+        assert rows.shape == (tracker.stats.n_frames, 12)
