@@ -151,12 +151,18 @@ def track_local_map(
     res, visible = matcher.search_by_projection_points(
         cam, T_init,
         m.mp.pos[rows], m.mp.desc[rows], rows_ok,
-        m.mp.min_dist[rows] * 0.8, m.mp.max_dist[rows] * 1.2, m.mp.normal[rows],
+        m.mp.min_dist[rows], m.mp.max_dist[rows], m.mp.normal[rows],
         cur.xy, cur.octave, cur.desc, cur.fvalid & ~has,
         scales, cfg.orb.scale_factor,
         radius=cfg.matcher.search_radius_motion / 4.0,
         max_dist=cfg.matcher.th_high,
         ratio=0.8,
+        # No octave gate here: the dense matcher computes the full distance
+        # matrix anyway (the reference gates octaves to cut CPU candidates,
+        # ORBmatcher.cc SearchByProjection), and the radius window + mutual
+        # best + ratio test disambiguate. Measured on the planar E2E sweep:
+        # gate off 0.025 ATE vs 0.062-0.090 for every gated window.
+        octave_slack=16, octave_slack_up=16,
     )
     new_mp = jnp.where(res.idx >= 0, rows[jnp.clip(res.idx, 0)], NO_MP)
     merged = jnp.where(has, mp_idx_in, new_mp)

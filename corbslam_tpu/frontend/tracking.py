@@ -47,10 +47,17 @@ class StereoTracker:
     (the minimum end-to-end slice of SURVEY.md §7.2 step 5).
     """
 
-    def __init__(self, cam: cam_mod.Intrinsics, cfg: SlamConfig, client: int = 0):
+    def __init__(
+        self,
+        cam: cam_mod.Intrinsics,
+        cfg: SlamConfig,
+        client: int = 0,
+        loop_closer=None,
+    ):
         self.cam = cam
         self.cfg = cfg
         self.client = client
+        self.loop_closer = loop_closer  # loop.loop_closing.LoopCloser or None
         self.map = ms.empty(cfg.capacity)
         self.state = TrackState.NOT_INITIALIZED
         self.last_frame: Optional[frame_mod.FrameData] = None
@@ -79,6 +86,12 @@ class StereoTracker:
             ok = self._initialize(cur, timestamp)
             self.frame_id += 1
             return self.current_pose()
+
+        # Fold in a finished background global BA, if any (the reference's
+        # Tracking waits on mMutexMapUpdate while LoopClosing writes;
+        # here the merge is one explicit program between frames).
+        if self.loop_closer is not None:
+            self.map = self.loop_closer.try_merge_gba(self.map)
 
         # 1. Motion-model tracking (fallback: reference keyframe).
         T_pred = se3.compose(self.velocity, self.last_frame.Tcw)
@@ -117,7 +130,12 @@ class StereoTracker:
         self.state = TrackState.OK
 
         # 3. Keyframe policy + mapping step.
-        if self._need_new_keyframe(cur, n_local):
+        close = (cur.depth > 0.01) & (
+            cur.depth < self.cfg.tracking.th_depth * self.cam.baseline
+        ) & cur.fvalid
+        n_close_tracked = int(jnp.sum(close & (cur.mp_idx >= 0)))
+        n_close_spawnable = int(jnp.sum(close & (cur.mp_idx < 0)))
+        if self._need_new_keyframe(cur, n_local, n_close_tracked, n_close_spawnable):
             self._create_keyframe(cur, timestamp, n_local)
 
         self._finish_frame(cur, timestamp)
@@ -144,13 +162,19 @@ class StereoTracker:
         self.stats.n_keyframes += 1
         return True
 
-    def _need_new_keyframe(self, cur, n_tracked: int) -> bool:
-        """NeedNewKeyFrame (ref: Tracking.cc:995): max-frame gap, or the
-        tracked count fell below thRefRatio of what the last keyframe saw.
-        The baseline is the tracked count AT keyframe creation (a cheap,
-        honest stand-in for the reference's nRefMatches-with-minObs — raw
-        per-KF feature counts include every freshly spawned point and
-        would trigger a keyframe every frame)."""
+    def _need_new_keyframe(
+        self, cur, n_tracked: int,
+        n_close_tracked: int = 1 << 30, n_close_spawnable: int = 0,
+    ) -> bool:
+        """NeedNewKeyFrame (ref: Tracking.cc:995): max-frame gap, the
+        tracked count fell below thRefRatio of what the last keyframe saw,
+        or — the stereo/RGB-D driver — tracked CLOSE points thinned out
+        while enough close features are available to spawn
+        (bNeedToInsertClose, Tracking.cc:1036-1044: <100 tracked close &&
+        >70 spawnable close). The ratio baseline is the tracked count AT
+        keyframe creation (a cheap, honest stand-in for the reference's
+        nRefMatches-with-minObs — raw per-KF feature counts include every
+        freshly spawned point and would trigger a keyframe every frame)."""
         cfgt = self.cfg.tracking
         frames_since_kf = self.frame_id - self.last_kf_frame_id
         if frames_since_kf < cfgt.min_frames_between_kf + 1:
@@ -158,6 +182,9 @@ class StereoTracker:
         if frames_since_kf >= cfgt.max_frames_between_kf:
             return True
         if n_tracked < 50:
+            return True
+        need_close = n_close_tracked < 100 and n_close_spawnable > 70
+        if need_close:
             return True
         if (
             n_tracked < cfgt.kf_ref_ratio_stereo * max(self.ref_obs, 1)
@@ -190,6 +217,8 @@ class StereoTracker:
             self.map = local_mapping.refresh_point_geometry(self.map, self.cfg)
         if self.stats.n_keyframes >= 3:
             self.map = local_mapping.local_ba(self.cam, self.map, kf_row, self.cfg)
+        if self.loop_closer is not None:
+            self.map = self.loop_closer.process_keyframe(self.map, kf_row)
 
     def _finish_frame(self, cur, timestamp: float, lost: bool = False):
         if self.last_frame is not None and not lost:

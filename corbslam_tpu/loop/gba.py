@@ -1,0 +1,195 @@
+"""Global bundle adjustment: whole-map BA with async dispatch + abort.
+
+Replaces the reference's detached GBA thread and its cancellation protocol
+(ref: corbslam_client/src/LoopClosing.cc:584 spawn,
+:413-428 mbStopGBA + mnFullBAIdx bump, :652 RunGlobalBundleAdjustment with
+spanning-tree propagation :685-755; server clone GlobalOptimize.cpp:435).
+
+TPU re-design: the whole map IS one fixed-shape BAProblem (the SoA arrays
+flatten directly — no graph building), optimized by the Schur/PCG LM engine
+in optim/ba.py. The LM loop is CHUNKED so the host can cancel between
+device dispatches (the reference checks mbStopGBA between g2o iterations,
+Optimizer.cc:76-77). Merge-back propagates the correction to keyframes and
+landmarks created while BA ran — the reference walks the spanning tree;
+here new rows are anchored to the last optimized keyframe / their reference
+keyframe, one gather program.
+"""
+
+from __future__ import annotations
+
+import threading
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SlamConfig
+from ..geometry import camera as cam_mod
+from ..geometry import se3
+from ..mapstate import mapstate as ms
+from ..optim import ba
+
+
+def build_global_problem(m: ms.MapState, cfg: SlamConfig) -> ba.BAProblem:
+    """Flatten the full map into a BAProblem (GlobalBundleAdjustemnt's
+    all-KFs/all-points graph, Optimizer.cc:43-54). Row 0 is the gauge."""
+    N, F, M = m.kf.capacity, m.kf.n_features, m.mp.capacity
+    kf_idx = jnp.repeat(jnp.arange(N, dtype=jnp.int32), F)
+    mp_idx = m.kf.mp_idx.reshape(-1)
+    ok = (mp_idx >= 0) & m.kf.fvalid.reshape(-1) & jnp.repeat(m.kf.valid, F)
+    ok &= jnp.where(mp_idx >= 0, m.mp.valid[jnp.clip(mp_idx, 0)], False)
+
+    xy = m.kf.xy.reshape(-1, 2)
+    ur = m.kf.uright.reshape(-1)
+    octv = m.kf.octave.reshape(-1)
+    inv_sigma2 = 1.0 / (cfg.orb.scale_factor ** (2.0 * octv.astype(jnp.float32)))
+
+    pose_fixed = ~m.kf.valid | m.kf.fixed
+    pose_fixed = pose_fixed.at[0].set(True)
+    return ba.BAProblem(
+        Tcw=m.kf.Tcw,
+        pose_fixed=pose_fixed,
+        X=m.mp.pos,
+        point_fixed=~m.mp.valid | m.mp.fixed,
+        obs_cam=kf_idx,
+        obs_point=jnp.clip(mp_idx, 0),
+        obs_uvr=jnp.concatenate([xy, ur[:, None]], axis=-1),
+        obs_inv_sigma2=inv_sigma2,
+        obs_stereo=ur > 0,
+        obs_valid=ok,
+    )
+
+
+@jax.jit
+def merge_gba_result(
+    m: ms.MapState,
+    Tcw_opt: jnp.ndarray,   # [N, 4, 4] optimized poses (snapshot rows)
+    X_opt: jnp.ndarray,     # [M, 3]
+    n_kf_snap,
+    n_mp_snap,
+) -> ms.MapState:
+    """Write a finished GBA result into the CURRENT map, propagating the
+    correction to rows created during the run (LoopClosing.cc:685-755):
+    new keyframes move by the delta of the last optimized keyframe
+    (T_new = T ∘ T_anchor^-1 ∘ T_anchor_opt); new landmarks follow their
+    reference keyframe's correction."""
+    N = m.kf.capacity
+    rows = jnp.arange(N)
+    in_snap = rows < n_kf_snap
+    anchor = jnp.clip(n_kf_snap - 1, 0)
+    T_anchor_old = m.kf.Tcw[anchor]
+    T_anchor_new = Tcw_opt[anchor]
+    delta = se3.compose(se3.inverse(T_anchor_old), T_anchor_new)  # right delta
+    T_prop = jax.vmap(lambda T: se3.compose(T, delta))(m.kf.Tcw)
+
+    writable = m.kf.valid & ~m.kf.fixed
+    T_old = m.kf.Tcw
+    T_new = jnp.where(in_snap[:, None, None], Tcw_opt, T_prop)
+    T_new = jnp.where(writable[:, None, None], T_new, T_old)
+    kf = m.kf._replace(Tcw=T_new)
+
+    # Landmarks: snapshot rows take the optimized positions; rows created
+    # during the run move with their reference keyframe,
+    # p' = T_ref_new^-1(T_ref_old(p)).
+    M = m.mp.capacity
+    prow = jnp.arange(M)
+    ref = jnp.clip(m.mp.ref_kf, 0)
+    p_cam = jax.vmap(se3.transform)(T_old[ref], m.mp.pos)
+    p_prop = jax.vmap(lambda T, p: se3.transform(se3.inverse(T), p))(
+        T_new[ref], p_cam
+    )
+    p_out = jnp.where((prow < n_mp_snap)[:, None], X_opt, p_prop)
+    move = m.mp.valid & ~m.mp.fixed
+    mp = m.mp._replace(pos=jnp.where(move[:, None], p_out, m.mp.pos))
+    return m._replace(kf=kf, mp=mp)
+
+
+class GlobalBARunner:
+    """Background GBA with cancellation (the reference's mbStopGBA protocol).
+
+    launch(map)   — snapshot the map, start/restart the worker thread
+    abort()       — cancel between LM chunks (a new loop closure invalidates
+                    the running GBA, LoopClosing.cc:413-428)
+    try_merge(m)  — if a run finished, fold its result into the current map
+    """
+
+    def __init__(
+        self,
+        cam: cam_mod.Intrinsics,
+        cfg: SlamConfig,
+        n_iters: int | None = None,
+        chunk: int = 2,
+        synchronous: bool = False,
+    ):
+        self.cam = cam
+        self.cfg = cfg
+        self.n_iters = n_iters if n_iters is not None else cfg.loop.global_ba_iters
+        self.chunk = chunk
+        self.synchronous = synchronous
+        self._abort = threading.Event()
+        self._thread: threading.Thread | None = None
+        self._lock = threading.Lock()
+        self._result = None  # (Tcw, X, n_kf_snap, n_mp_snap)
+        self.runs_started = 0
+        self.runs_aborted = 0
+        self.runs_finished = 0
+
+    # ------------------------------------------------------------------
+    def launch(self, m: ms.MapState):
+        self.abort()
+        self._abort.clear()
+        self.runs_started += 1
+        if self.synchronous:
+            self._run(m)
+        else:
+            self._thread = threading.Thread(target=self._run, args=(m,), daemon=True)
+            self._thread.start()
+
+    def abort(self):
+        if self._thread is not None and self._thread.is_alive():
+            self._abort.set()
+            self._thread.join()
+            self.runs_aborted += 1
+        self._thread = None
+        with self._lock:
+            self._result = None
+
+    def busy(self) -> bool:
+        return self._thread is not None and self._thread.is_alive()
+
+    def wait(self):
+        if self._thread is not None:
+            self._thread.join()
+
+    # ------------------------------------------------------------------
+    def _run(self, m: ms.MapState):
+        prob = build_global_problem(m, self.cfg)
+        n_kf_snap, n_mp_snap = m.n_kf, m.n_mp
+        done = 0
+        first = True
+        while done < self.n_iters:
+            if self._abort.is_set():
+                return
+            k = min(self.chunk, self.n_iters - done)
+            res = ba.optimize(
+                self.cam, prob, n_iters=k,
+                cg_iters=self.cfg.mapping.local_ba_cg_iters,
+                huber_iters=k if first else 0,
+            )
+            # Block until the device finishes so abort is responsive at
+            # chunk granularity (the jit dispatch itself is async).
+            jax.block_until_ready(res.cost)
+            prob = prob._replace(Tcw=res.Tcw, X=res.X)
+            done += k
+            first = False
+        with self._lock:
+            self._result = (prob.Tcw, prob.X, n_kf_snap, n_mp_snap)
+        self.runs_finished += 1
+
+    def try_merge(self, m: ms.MapState) -> ms.MapState:
+        with self._lock:
+            result, self._result = self._result, None
+        if result is None:
+            return m
+        Tcw, X, n_kf_snap, n_mp_snap = result
+        return merge_gba_result(m, Tcw, X, n_kf_snap, n_mp_snap)

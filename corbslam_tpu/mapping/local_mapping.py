@@ -56,9 +56,6 @@ def fuse_into_kf(
     matcher failed to associate and the ratio test then rejects both twins —
     tracking decays monotonically.
     """
-    from ..matching import matcher
-
-    scales = jnp.asarray(cfg.orb.scales(), jnp.float32)
     # Candidate points: seen by covisible neighbors, not already bound to
     # this keyframe.
     w = covis.covis_weights_single(m, kf_row) * m.kf.valid
@@ -68,15 +65,34 @@ def fuse_into_kf(
     pmask = covis.local_map_mask(m, nb_rows, nb_ok)
     pmask &= ~covis.point_mask_of_kf(m, kf_row)
     rows, rows_ok = covis.compact_indices(pmask, m.kf.n_features * 2)
+    return fuse_rows_into_kf(cam, m, kf_row, rows, rows_ok, cfg)
 
+
+def fuse_rows_into_kf(
+    cam: cam_mod.Intrinsics,
+    m: ms.MapState,
+    kf_row,
+    rows: jnp.ndarray,
+    rows_ok: jnp.ndarray,
+    cfg: SlamConfig,
+    radius: float = 3.0,
+) -> ms.MapState:
+    """Core of `ORBmatcher::Fuse` for a given candidate point set: project
+    `rows` into keyframe `kf_row`, bind hits on unbound features, merge
+    duplicate landmark pairs (MapPoint::Replace semantics). Shared by the
+    local-mapping neighbor fuse above and loop closing's `SearchAndFuse`
+    (ref: LoopClosing.cc:594, GlobalOptimize.cpp:406)."""
+    from ..matching import matcher
+
+    scales = jnp.asarray(cfg.orb.scales(), jnp.float32)
     Tcw = m.kf.Tcw[kf_row]
     res, _ = matcher.search_by_projection_points(
         cam, Tcw,
         m.mp.pos[rows], m.mp.desc[rows], rows_ok,
-        m.mp.min_dist[rows] * 0.5, m.mp.max_dist[rows] * 2.0, m.mp.normal[rows],
+        m.mp.min_dist[rows], m.mp.max_dist[rows], m.mp.normal[rows],
         m.kf.xy[kf_row], m.kf.octave[kf_row], m.kf.desc[kf_row], m.kf.fvalid[kf_row],
         scales, cfg.orb.scale_factor,
-        radius=3.0, max_dist=cfg.matcher.th_low, ratio=1.0,
+        radius=radius, max_dist=cfg.matcher.th_low, ratio=1.0,
         view_cos_limit=-1.0,
     )
     # Per-feature: projected point row (or -1).

@@ -41,6 +41,14 @@ def covis_weights_single(m: MapState, q) -> jnp.ndarray:
     return jnp.sum(shared, axis=1).astype(jnp.int32)
 
 
+@jax.jit
+def covis_weights_matrix_rows(m: MapState, rows: jnp.ndarray) -> jnp.ndarray:
+    """[K, N] covisibility weights of the given keyframe rows against all
+    keyframes (vmapped covis_weights_single — used by loop closing's
+    consistency groups, LoopClosing.cc:150-231)."""
+    return jax.vmap(lambda q: covis_weights_single(m, q))(rows)
+
+
 def obs_matrix(m: MapState, dtype=jnp.int8) -> jnp.ndarray:
     """[N, M] binary incidence: keyframe n observes point p."""
     N, M = m.kf.capacity, m.mp.capacity

@@ -107,21 +107,25 @@ def projection_window_mask(
     scale_factors: jnp.ndarray,
     pred_octave: jnp.ndarray | None = None,
     octave_slack: int = 1,
+    octave_slack_up: int | None = None,
 ) -> jnp.ndarray:
     """[M, N] mask: feature n is a candidate for projected point m.
 
     Window radius grows with the feature's pyramid level
     (`radius * mvScaleFactors[kp.octave]`, ORBmatcher.cc SearchByProjection)
-    and candidates must sit within `octave_slack` levels of the predicted
-    octave (`PredictScale`, MapPoint.cc:~460).
+    and candidates must sit within [-octave_slack, +octave_slack_up] levels
+    of the predicted octave (`PredictScale`, MapPoint.cc:~460; the reference
+    window [nPredictedLevel-1, nPredictedLevel] is likewise asymmetric).
     """
+    if octave_slack_up is None:
+        octave_slack_up = octave_slack
     r = radius * scale_factors[feat_octave]  # [N]
     d2 = jnp.sum((uv_proj[:, None, :] - feat_xy[None, :, :]) ** 2, axis=-1)
     mask = d2 <= (r[None, :] ** 2)
     mask &= visible[:, None] & feat_valid[None, :]
     if pred_octave is not None:
-        d_oct = jnp.abs(feat_octave[None, :] - pred_octave[:, None])
-        mask &= d_oct <= octave_slack
+        d_oct = feat_octave[None, :] - pred_octave[:, None]
+        mask &= (d_oct >= -octave_slack) & (d_oct <= octave_slack_up)
     return mask
 
 
@@ -144,30 +148,46 @@ def search_by_projection_points(
     max_dist: int,
     ratio: float,
     view_cos_limit: float = 0.5,
+    dist_slack: float = 1.2,
+    octave_slack: int = 1,
+    octave_slack_up: int | None = None,
 ):
     """Match map points into a frame by projection — the core of
     `SearchByProjection(Frame&, vector<MapPoint*>&, th)` used by
     TrackLocalMap (ref: ORBmatcher.cc:48h / Tracking.cc:1168-1215).
+
+    `dist_slack` loosens only the frustum DISTANCE gate
+    ([min/slack, max*slack], Frame::isInFrustum's 0.8/1.2 band) — the
+    octave prediction below must use the raw `mp_max_dist`, or points get
+    predicted several levels too coarse and the octave window rejects
+    every true match.
 
     Returns per-FEATURE map-point index [N] (NO_MATCH = none) + distances,
     plus the per-point visibility mask (for the "visible" counters the
     culling policy needs, MapPoint.h IncreaseVisible).
     """
     visible, uv, _, _, dist3d = cam_mod.in_frustum(
-        cam, Tcw, mp_pos, mp_min_dist, mp_max_dist, mp_normal, view_cos_limit
+        cam, Tcw, mp_pos, mp_min_dist / dist_slack, mp_max_dist * dist_slack,
+        mp_normal, view_cos_limit,
     )
     visible &= mp_valid
-    # Predicted octave from distance (PredictScale: level = log(maxd/d)/log(s))
+    # Predicted octave from distance (PredictScale: level = log(maxd/d)/log(s)).
+    # The ratio sits EXACTLY on an integer boundary when the point is viewed
+    # from its creation distance (ratio = s^octave), and platform-dependent
+    # log rounding then flips ceil() by a whole level (TPU-jit vs CPU gave
+    # different match sets) — bias by a small epsilon so boundaries resolve
+    # down deterministically everywhere.
     n_levels = scale_factors.shape[0]
     ratio_d = jnp.maximum(mp_max_dist, 1e-6) / jnp.maximum(dist3d, 1e-6)
     pred_octave = jnp.clip(
-        jnp.ceil(jnp.log(ratio_d) / jnp.log(scale_factor)).astype(jnp.int32),
+        jnp.ceil(jnp.log(ratio_d) / jnp.log(scale_factor) - 1e-3).astype(jnp.int32),
         0,
         n_levels - 1,
     )
     mask = projection_window_mask(
         uv, visible, feat_xy, feat_octave, feat_valid,
         radius, scale_factors, pred_octave,
+        octave_slack=octave_slack, octave_slack_up=octave_slack_up,
     )
     # Query = features (rows of the transposed matrix): per-feature best MP.
     res = match_masked(feat_desc, mp_desc, mask.T, max_dist, ratio)

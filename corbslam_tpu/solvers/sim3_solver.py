@@ -26,16 +26,24 @@ from ..geometry import se3
 _PREC = jax.lax.Precision.HIGHEST
 
 
-def horn_sim3(p1: jnp.ndarray, p2: jnp.ndarray, fix_scale: bool = False):
+def horn_sim3(
+    p1: jnp.ndarray, p2: jnp.ndarray, fix_scale: bool = False,
+    w: jnp.ndarray | None = None,
+):
     """Closed-form similarity p1 ~ s R p2 + t from matched sets [..., K, 3].
 
     Horn's quaternion method (the same construction as Sim3Solver::ComputeSim3,
-    Sim3Solver.cc h56). Batched over leading dims.
+    Sim3Solver.cc h56). Batched over leading dims. `w` [..., K] optionally
+    weights/masks correspondences (inlier refit after RANSAC — the role of
+    the reference's final Sim3 refinement over the consensus set).
     """
-    c1 = jnp.mean(p1, axis=-2, keepdims=True)
-    c2 = jnp.mean(p2, axis=-2, keepdims=True)
-    q1 = p1 - c1
-    q2 = p2 - c2
+    if w is None:
+        w = jnp.ones(p1.shape[:-1], p1.dtype)
+    wn = w / jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1e-12)
+    c1 = jnp.sum(p1 * wn[..., None], axis=-2, keepdims=True)
+    c2 = jnp.sum(p2 * wn[..., None], axis=-2, keepdims=True)
+    q1 = (p1 - c1) * jnp.sqrt(wn)[..., None]
+    q2 = (p2 - c2) * jnp.sqrt(wn)[..., None]
     M = jnp.einsum("...ki,...kj->...ij", q2, q1, precision=_PREC)  # [3,3]
     # 4x4 symmetric N matrix
     Sxx, Sxy, Sxz = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]

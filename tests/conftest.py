@@ -27,6 +27,10 @@ import pytest  # noqa: E402
 def rng():
     return np.random.default_rng(0)
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
-jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+# CPU-only cache dir: entries written by axon/TPU-host sessions carry
+# different machine-feature sets and poison pure-CPU executions (XLA's
+# cpu_aot_loader feature-mismatch warnings + wrong numerics), so tests
+# never share a cache with bench/TPU runs.
+os.environ["JAX_COMPILATION_CACHE_DIR"] = "/root/.jax_cache_cpu"
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache_cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
