@@ -1,0 +1,372 @@
+"""Client-side collaboration cache: dirty tracking, uplink, downlink.
+
+Replaces the reference's `Cache` memory-managing module + `DataDriver`
+RPC client (ref: corbslam_client/src/Cache.cc — dirty sets
+newInsertedKFs/updateKFs populated by AddKeyFrameToMap :67 /
+addUpdateKeyframe :223; uplink thread runUpdateToServer :322; downlink
+subscriptions + handlers :418-634; DataDriver.cc service calls).
+
+TPU re-design: the map is already SoA device arrays with a monotone
+allocation cursor, so "new since last push" is a ROW RANGE, not a dirty
+set; "updated poses" is a vectorized diff against the pose snapshot from
+the last acknowledged push. Unlike the reference — which snapshots+clears
+its dirty sets BEFORE calling the service and silently drops the batch on
+failure (DataDriver.cc:70-73, SURVEY.md §5.3) — cursors and snapshots
+only advance on ACK, so a failed uplink retries next period.
+
+Identity: own entities get gid = cid * stride + row (the reference's
+(clientId-1)*1e6 id offset, KeyFrame.cc:49-51); foreign entities keep the
+gid they arrived with, tracked in host-side dicts (the Cache::lKFToKFmap
+equivalent).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SlamConfig
+from ..geometry import sim3
+from ..mapstate import mapstate as ms
+from . import fusion_ops, wire
+from .transport import Transport
+
+
+class IdMap:
+    """Bidirectional row <-> gid bookkeeping for one map's entity class."""
+
+    def __init__(self, capacity: int, cid: int, stride: int):
+        self.gid_of_row = np.full(capacity, -1, np.int64)
+        self.row_of_gid: Dict[int, int] = {}
+        self.cid = cid
+        self.stride = stride
+
+    def assign_own(self, rows: np.ndarray):
+        gids = self.cid * self.stride + rows.astype(np.int64)
+        self.gid_of_row[rows] = gids
+        for r, g in zip(rows.tolist(), gids.tolist()):
+            self.row_of_gid[g] = r
+        return gids
+
+    def assign_foreign(self, rows: np.ndarray, gids: np.ndarray):
+        self.gid_of_row[rows] = gids
+        for r, g in zip(rows.tolist(), gids.tolist()):
+            self.row_of_gid[int(g)] = int(r)
+
+    def rows_for(self, gids: np.ndarray) -> np.ndarray:
+        return np.asarray(
+            [self.row_of_gid.get(int(g), -1) for g in gids], np.int32
+        )
+
+
+class ClientCache:
+    """Owns sync state for one client's tracker map."""
+
+    def __init__(
+        self,
+        tracker,                      # frontend.tracking.StereoTracker-like
+        transport: Transport,
+        cid: int,
+        cfg: SlamConfig,
+        loop_closer=None,             # gets foreign keyframes into its BoW db
+    ):
+        self.tracker = tracker
+        self.transport = transport
+        self.cid = cid
+        self.cfg = cfg
+        self.loop_closer = loop_closer
+        cap = cfg.capacity
+        stride = cfg.collab.client_id_stride
+        self.kf_ids = IdMap(cap.max_keyframes, cid, stride)
+        self.mp_ids = IdMap(cap.max_map_points, cid, stride)
+        self.synced_kf = 0   # own rows < cursor AND gid assigned are pushed
+        self.synced_mp = 0
+        self._kf_pose_snap = np.zeros((cap.max_keyframes, 4, 4), np.float32)
+        self._mp_pos_snap = np.zeros((cap.max_map_points, 3), np.float32)
+        # Own-world -> global alignment, set by the server via TRANSM.
+        self.Ttrans: Optional[tuple] = None
+        self.stats = {
+            "kfs_pushed": 0, "mps_pushed": 0, "kf_poses_pushed": 0,
+            "mp_pos_pushed": 0, "failed_calls": 0,
+            "foreign_kfs": 0, "foreign_mps": 0,
+        }
+        transport.register_client(cid)
+
+    # ------------------------------------------------------------------
+    # Uplink (runUpdateToServer, Cache.cc:322)
+    # ------------------------------------------------------------------
+
+    def uplink_step(self) -> bool:
+        """One sync cycle: push new keyframes, new map points, then pose /
+        position deltas. Returns True if everything was acknowledged."""
+        m = self.tracker.map
+        ok = True
+        ok &= self._push_new_mps(m)
+        ok &= self._push_new_kfs(m)
+        ok &= self._push_pose_deltas(m)
+        ok &= self._push_pos_deltas(m)
+        return ok
+
+    def _own_new_rows(self, client_arr, valid_arr, lo: int, hi: int, fixed_arr):
+        rows = np.arange(lo, hi, dtype=np.int64)
+        if len(rows) == 0:
+            return rows
+        cl = np.asarray(client_arr[lo:hi])
+        vd = np.asarray(valid_arr[lo:hi])
+        fx = np.asarray(fixed_arr[lo:hi])
+        return rows[(cl == self.cid) & vd & ~fx]
+
+    def _push_new_mps(self, m: ms.MapState) -> bool:
+        hi = int(m.n_mp)
+        rows = self._own_new_rows(m.mp.client, m.mp.valid, self.synced_mp, hi,
+                                  m.mp.fixed)
+        if len(rows) == 0:
+            self.synced_mp = hi
+            return True
+        gids = self.cid * self.mp_ids.stride + rows
+        ref_rows = np.asarray(m.mp.ref_kf[rows])
+        msg = wire.mp_insert_msg(
+            gid=gids, client=np.full(len(rows), self.cid, np.int32),
+            pos=np.asarray(m.mp.pos[rows]),
+            normal=np.asarray(m.mp.normal[rows]),
+            desc=np.asarray(m.mp.desc[rows]),
+            min_dist=np.asarray(m.mp.min_dist[rows]),
+            max_dist=np.asarray(m.mp.max_dist[rows]),
+            ref_kf_gid=self.cid * self.kf_ids.stride + ref_rows.astype(np.int64),
+        )
+        if not self.transport.call(wire.SRV_INSERT_MPS, self.cid, msg):
+            self.stats["failed_calls"] += 1
+            return False
+        self.mp_ids.assign_own(rows)
+        self._mp_pos_snap[rows] = np.asarray(m.mp.pos[rows])
+        self.synced_mp = hi
+        self.stats["mps_pushed"] += len(rows)
+        return True
+
+    def _push_new_kfs(self, m: ms.MapState) -> bool:
+        hi = int(m.n_kf)
+        rows = self._own_new_rows(m.kf.client, m.kf.valid, self.synced_kf, hi,
+                                  m.kf.fixed)
+        if len(rows) == 0:
+            self.synced_kf = hi
+            return True
+        gids = self.cid * self.kf_ids.stride + rows
+        mp_idx = np.asarray(m.kf.mp_idx[rows])  # [K, F] local rows
+        mp_gid = np.where(
+            mp_idx >= 0, self.mp_ids.gid_of_row[np.clip(mp_idx, 0, None)], -1
+        )
+        msg = wire.kf_insert_msg(
+            gid=gids, client=np.full(len(rows), self.cid, np.int32),
+            Tcw=np.asarray(m.kf.Tcw[rows]),
+            xy=np.asarray(m.kf.xy[rows]),
+            octave=np.asarray(m.kf.octave[rows]),
+            angle=np.asarray(m.kf.angle[rows]),
+            desc=np.asarray(m.kf.desc[rows]),
+            uright=np.asarray(m.kf.uright[rows]),
+            depth=np.asarray(m.kf.depth[rows]),
+            fvalid=np.asarray(m.kf.fvalid[rows]),
+            mp_gid=mp_gid,
+            frame_id=np.asarray(m.kf.frame_id[rows]),
+            timestamp=np.asarray(m.kf.timestamp[rows]),
+        )
+        if not self.transport.call(wire.SRV_INSERT_KFS, self.cid, msg):
+            self.stats["failed_calls"] += 1
+            return False
+        self.kf_ids.assign_own(rows)
+        self._kf_pose_snap[rows] = np.asarray(m.kf.Tcw[rows])
+        self.synced_kf = hi
+        self.stats["kfs_pushed"] += len(rows)
+        return True
+
+    def _push_pose_deltas(self, m: ms.MapState) -> bool:
+        """Keyframes already on the server whose pose moved (local BA, loop
+        correction) — the reference's updateKFs dirty set (Cache.cc:223),
+        here a vectorized diff against the last acked snapshot."""
+        lo = self.synced_kf
+        own = (self.kf_ids.gid_of_row >= 0) & (
+            np.arange(len(self.kf_ids.gid_of_row)) < lo
+        )
+        if not own.any():
+            return True
+        Tcw = np.asarray(m.kf.Tcw)
+        moved = own & (
+            np.abs(Tcw - self._kf_pose_snap).reshape(len(Tcw), -1).max(axis=1)
+            > 1e-7
+        ) & np.asarray(m.kf.valid) & ~np.asarray(m.kf.fixed)
+        rows = np.nonzero(moved)[0]
+        if len(rows) == 0:
+            return True
+        msg = wire.kf_pose_msg(self.kf_ids.gid_of_row[rows], Tcw[rows])
+        if not self.transport.call(wire.SRV_UPDATE_KFS, self.cid, msg):
+            self.stats["failed_calls"] += 1
+            return False
+        self._kf_pose_snap[rows] = Tcw[rows]
+        self.stats["kf_poses_pushed"] += len(rows)
+        return True
+
+    def _push_pos_deltas(self, m: ms.MapState) -> bool:
+        lo = self.synced_mp
+        own = (self.mp_ids.gid_of_row >= 0) & (
+            np.arange(len(self.mp_ids.gid_of_row)) < lo
+        )
+        if not own.any():
+            return True
+        pos = np.asarray(m.mp.pos)
+        moved = own & (
+            np.abs(pos - self._mp_pos_snap).max(axis=1) > 1e-7
+        ) & np.asarray(m.mp.valid) & ~np.asarray(m.mp.fixed)
+        rows = np.nonzero(moved)[0]
+        if len(rows) == 0:
+            return True
+        msg = wire.mp_pos_msg(self.mp_ids.gid_of_row[rows], pos[rows])
+        if not self.transport.call(wire.SRV_UPDATE_MPS, self.cid, msg):
+            self.stats["failed_calls"] += 1
+            return False
+        self._mp_pos_snap[rows] = pos[rows]
+        self.stats["mp_pos_pushed"] += len(rows)
+        return True
+
+    # ------------------------------------------------------------------
+    # Downlink (Cache::runSubFromServer + handlers, Cache.cc:418-634)
+    # ------------------------------------------------------------------
+
+    def downlink_step(self):
+        """Drain all four topics and apply them to the local map."""
+        for msg in self.transport.poll(wire.TOPIC_NEW_MPS, self.cid):
+            self._apply_new_mps(msg)
+        for msg in self.transport.poll(wire.TOPIC_NEW_KFS, self.cid):
+            self._apply_new_kfs(msg)
+        for msg in self.transport.poll(wire.TOPIC_UPD_KFS, self.cid):
+            self._apply_kf_poses(msg)
+        for msg in self.transport.poll(wire.TOPIC_UPD_MPS, self.cid):
+            self._apply_mp_pos(msg)
+
+    def _own_transform_inv(self, msg):
+        tr = wire.transm_lookup(msg, self.cid)
+        if tr is not None:
+            self.Ttrans = tr
+        if self.Ttrans is None:
+            return sim3.identity()
+        R, t, s = self.Ttrans
+        return sim3.inverse((jnp.asarray(R), jnp.asarray(t), jnp.float32(s)))
+
+    def _fresh_foreign(self, gids: np.ndarray, idmap: IdMap) -> np.ndarray:
+        """Mask of entities to insert: not ours, not already known
+        (Cache.cc:471-474 skips own-client and existing ids)."""
+        own = (gids // idmap.stride) == self.cid
+        known = np.asarray([int(g) in idmap.row_of_gid for g in gids])
+        return ~own & ~known
+
+    def _apply_new_mps(self, msg):
+        gids = msg["gid"]
+        take = self._fresh_foreign(gids, self.mp_ids)
+        if not take.any():
+            return
+        Sinv = self._own_transform_inv(msg)
+        m = self.tracker.map
+        free = m.mp.capacity - int(m.n_mp)
+        idxs = np.nonzero(take)[0][: max(free, 0)]
+        for lo in range(0, len(idxs), fusion_ops.MP_CHUNK):
+            sel = idxs[lo:lo + fusion_ops.MP_CHUNK]
+            C = fusion_ops.MP_CHUNK
+            pad = C - len(sel)
+            def P(a, fill=0):
+                a = np.asarray(a)[sel]
+                return np.concatenate([a, np.full((pad,) + a.shape[1:], fill, a.dtype)]) if pad else a
+            pos = sim3.transform(Sinv, jnp.asarray(P(msg["pos"])))
+            normal = jnp.einsum("ij,mj->mi", Sinv[0], jnp.asarray(P(msg["normal"])))
+            m, rows = fusion_ops.insert_mp_chunk(
+                m, pos, normal, jnp.asarray(P(msg["desc"])),
+                jnp.asarray(P(msg["min_dist"])) * float(Sinv[2]),
+                jnp.asarray(P(msg["max_dist"])) * float(Sinv[2]),
+                jnp.asarray(P(msg["client"])),
+                jnp.zeros(C, jnp.int32),
+                use=jnp.arange(C) < len(sel),
+                fixed=jnp.ones(C, bool),  # foreign data is read-only (:534)
+            )
+            rows_np = np.asarray(rows)[: len(sel)]
+            self.mp_ids.assign_foreign(rows_np, gids[sel])
+            self.stats["foreign_mps"] += len(sel)
+        self.tracker.map = m
+
+    def _apply_new_kfs(self, msg):
+        gids = msg["gid"]
+        take = self._fresh_foreign(gids, self.kf_ids)
+        if not take.any():
+            return
+        Sinv = self._own_transform_inv(msg)
+        m = self.tracker.map
+        free = m.kf.capacity - int(m.n_kf)
+        idxs = np.nonzero(take)[0][: max(free, 0)]
+        for lo in range(0, len(idxs), fusion_ops.KF_CHUNK):
+            sel = idxs[lo:lo + fusion_ops.KF_CHUNK]
+            C = fusion_ops.KF_CHUNK
+            pad = C - len(sel)
+            def P(a, fill=0):
+                a = np.asarray(a)[sel]
+                return np.concatenate([a, np.full((pad,) + a.shape[1:], fill, a.dtype)]) if pad else a
+            Tcw = fusion_ops.transform_poses(jnp.asarray(P(msg["Tcw"])), Sinv)
+            mp_gid = P(msg["mp_gid"], -1)
+            mp_rows = np.where(
+                mp_gid >= 0,
+                self.mp_ids.rows_for(mp_gid.reshape(-1)).reshape(mp_gid.shape),
+                -1,
+            )
+            m, rows = fusion_ops.insert_kf_chunk(
+                m, Tcw,
+                jnp.asarray(P(msg["xy"])), jnp.asarray(P(msg["octave"])),
+                jnp.asarray(P(msg["angle"])), jnp.asarray(P(msg["desc"])),
+                jnp.asarray(P(msg["uright"])), jnp.asarray(P(msg["depth"])),
+                jnp.asarray(P(msg["fvalid"], False)), jnp.asarray(mp_rows),
+                jnp.asarray(P(msg["client"])),
+                jnp.asarray(P(msg["frame_id"])),
+                jnp.asarray(P(msg["timestamp"])),
+                use=jnp.arange(C) < len(sel),
+                fixed=jnp.ones(C, bool),  # setFixed (Cache.cc:482)
+            )
+            rows_np = np.asarray(rows)[: len(sel)]
+            self.kf_ids.assign_foreign(rows_np, gids[sel])
+            self.stats["foreign_kfs"] += len(sel)
+            # Foreign keyframes join the local BoW database so they serve
+            # relocalization and loop detection (Cache.cc:484
+            # addKeyFrametoDB).
+            if self.loop_closer is not None:
+                for r in rows_np.tolist():
+                    self.loop_closer.db = self.loop_closer.db.add(
+                        r, self.loop_closer.compute_bow(m, r)
+                    )
+        self.tracker.map = m
+
+    def _apply_kf_poses(self, msg):
+        """Server-optimized poses for FIXED (foreign) keyframes only — own
+        entities are authoritative locally (Cache.cc:574)."""
+        gids = msg["gid"]
+        rows = self.kf_ids.rows_for(gids)
+        m = self.tracker.map
+        fixed = np.asarray(m.kf.fixed)
+        sel = (rows >= 0) & fixed[np.clip(rows, 0, None)]
+        if not sel.any():
+            return
+        Sinv = self._own_transform_inv(msg)
+        Tcw = fusion_ops.transform_poses(jnp.asarray(msg["Tcw"][sel]), Sinv)
+        r = jnp.asarray(rows[sel])
+        self.tracker.map = m._replace(
+            kf=m.kf._replace(Tcw=m.kf.Tcw.at[r].set(Tcw))
+        )
+
+    def _apply_mp_pos(self, msg):
+        gids = msg["gid"]
+        rows = self.mp_ids.rows_for(gids)
+        m = self.tracker.map
+        fixed = np.asarray(m.mp.fixed)
+        sel = (rows >= 0) & fixed[np.clip(rows, 0, None)]
+        if not sel.any():
+            return
+        Sinv = self._own_transform_inv(msg)
+        pos = sim3.transform(Sinv, jnp.asarray(msg["pos"][sel]))
+        r = jnp.asarray(rows[sel])
+        self.tracker.map = m._replace(
+            mp=m.mp._replace(pos=m.mp.pos.at[r].set(pos))
+        )

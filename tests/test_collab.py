@@ -1,0 +1,281 @@
+"""Collaboration-layer tests: two clients with different world frames sync
+through an in-process transport to the fusion server, which detects their
+overlap, aligns and merges the maps, and broadcasts the fused map back —
+the hermetic equivalent of the reference's roscore + server + N clients
+launch (SURVEY.md §4; reference flow MapFusion.cpp / Cache.cc)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from corbslam_tpu.config import CapacityConfig, OrbConfig, SlamConfig
+from corbslam_tpu.collab import fusion_ops, wire
+from corbslam_tpu.collab.client_cache import ClientCache
+from corbslam_tpu.collab.server import MapFusionServer
+from corbslam_tpu.collab.transport import InProcTransport
+from corbslam_tpu.geometry import camera, se3, sim3
+from corbslam_tpu.mapstate import mapstate as ms
+from corbslam_tpu.place import vocab as vocab_mod
+
+CAM = camera.Intrinsics.create(
+    fx=320.0, fy=320.0, cx=160.0, cy=120.0, bf=160.0, width=320, height=240
+)
+
+CFG = SlamConfig(
+    orb=OrbConfig(n_features=128, n_levels=4),
+    capacity=CapacityConfig(
+        max_keyframes=32, max_map_points=2048, max_features=128,
+        local_window_kfs=8, local_window_mps=512,
+    ),
+)
+
+F = CFG.capacity.max_features
+
+
+class FakeTracker:
+    """Map holder standing in for StereoTracker (ClientCache only needs .map)."""
+
+    def __init__(self):
+        self.map = ms.empty(CFG.capacity)
+
+
+def make_points(rng, n, T_world=np.eye(4)):
+    """Scene points in a GT frame, expressed in `T_world` (client frame)."""
+    X = np.stack([
+        rng.uniform(-4, 4, n), rng.uniform(-3, 3, n), rng.uniform(6, 14, n)
+    ], -1).astype(np.float32)
+    R, t = T_world[:3, :3], T_world[:3, 3]
+    return (X @ R.T + t).astype(np.float32)
+
+
+def add_kf_observing(m, pts_rows, pts_pos, descs, Tcw, client, frame_id):
+    """Insert a keyframe whose first len(rows) features observe the given
+    map points (projected with Tcw)."""
+    k = len(pts_rows)
+    p_cam = (Tcw[:3, :3] @ pts_pos.T).T + Tcw[:3, 3]
+    uv = np.stack([
+        CAM.fx * p_cam[:, 0] / p_cam[:, 2] + CAM.cx,
+        CAM.fy * p_cam[:, 1] / p_cam[:, 2] + CAM.cy,
+    ], -1).astype(np.float32)
+    xy = np.zeros((F, 2), np.float32); xy[:k] = uv
+    desc = np.zeros((F, 32), np.uint8); desc[:k] = descs
+    depth = np.zeros(F, np.float32); depth[:k] = p_cam[:, 2]
+    ur = np.full(F, -1.0, np.float32); ur[:k] = uv[:, 0] - CAM.bf / p_cam[:, 2]
+    fv = np.zeros(F, bool); fv[:k] = True
+    mp_idx = np.full(F, ms.NO_MP, np.int32); mp_idx[:k] = pts_rows
+    m, row = ms.insert_keyframe(
+        m, jnp.asarray(Tcw), jnp.asarray(xy), jnp.zeros(F, jnp.int32),
+        jnp.zeros(F, jnp.float32), jnp.asarray(desc), jnp.asarray(ur),
+        jnp.asarray(depth), jnp.asarray(fv), jnp.asarray(mp_idx),
+        frame_id=frame_id, timestamp=float(frame_id), client=client,
+    )
+    return m, int(row)
+
+
+def add_points(m, pos, descs, ref_kf, Tcw_ref, client):
+    k = pos.shape[0]
+    p_cam = (Tcw_ref[:3, :3] @ pos.T).T + Tcw_ref[:3, 3]
+    dist = np.linalg.norm(p_cam, axis=-1).astype(np.float32)
+    ctr = -Tcw_ref[:3, :3].T @ Tcw_ref[:3, 3]
+    normal = pos - ctr
+    normal = (normal / np.linalg.norm(normal, axis=-1, keepdims=True)).astype(np.float32)
+    m, rows = ms.add_map_points(
+        m, jnp.asarray(pos), jnp.asarray(descs), jnp.asarray(normal),
+        min_dist=jnp.asarray(dist / 1.2 ** 3), max_dist=jnp.asarray(dist),
+        ref_kf=ref_kf, create=jnp.ones(k, bool), client=client,
+    )
+    return m, np.asarray(rows)
+
+
+def build_client_map(rng, client, T_world, shared_desc, n_own=40, n_shared=60):
+    """A client map seeing the SHARED scene (same descriptors across
+    clients) plus some private points, all expressed in its own world
+    frame `T_world` (gt -> client world)."""
+    tr = FakeTracker()
+    m = tr.map
+    X_shared = make_points(np.random.default_rng(7), n_shared, T_world)
+    X_own = make_points(rng, n_own, T_world) + np.asarray([0, 0, 4], np.float32)
+    own_desc = rng.integers(0, 256, (n_own, 32), dtype=np.uint8)
+
+    poses = []
+    for i in range(3):
+        T = np.eye(4, dtype=np.float32)
+        T[0, 3] = -0.25 * i
+        # Express in the client world frame: cam <- gt <- client-world.
+        Tcw = T @ np.linalg.inv(T_world).astype(np.float32)
+        poses.append(Tcw.astype(np.float32))
+
+    m, rows_sh = add_points(m, X_shared, shared_desc, 0, poses[0], client)
+    m, rows_own = add_points(m, X_own, own_desc, 0, poses[0], client)
+    for i, Tcw in enumerate(poses):
+        pts_rows = np.concatenate([rows_sh, rows_own])
+        pts_pos = np.concatenate([X_shared, X_own])
+        descs = np.concatenate([shared_desc, own_desc])
+        m, _ = add_kf_observing(m, pts_rows, pts_pos, descs, Tcw, client, i)
+    tr.map = m
+    return tr
+
+
+@pytest.fixture(scope="module")
+def voc():
+    rng = np.random.default_rng(3)
+    descs = rng.integers(0, 256, (2000, 32), dtype=np.uint8)
+    return vocab_mod.train(jnp.asarray(descs), n_words=128, n_iters=4)
+
+
+@pytest.fixture
+def shared_desc():
+    return np.random.default_rng(7).integers(0, 256, (60, 32), dtype=np.uint8)
+
+
+# GT -> client-2 world: a yaw + translation offset (client 2 started
+# elsewhere; its map is expressed in its own frame).
+def T2_world():
+    T = np.asarray(se3.exp(jnp.asarray([1.5, -0.4, 0.3, 0.0, 0.25, 0.0])))
+    return T.astype(np.float32)
+
+
+class TestWireCodec:
+    def test_roundtrip(self, rng):
+        d = {
+            "a": rng.normal(size=(3, 4)).astype(np.float32),
+            "b": rng.integers(0, 255, (7,), dtype=np.uint8),
+            "scalar": np.asarray(5, np.int64),
+            "empty": np.zeros((0, 3), np.float32),
+        }
+        out = wire.unpack_arrays(wire.pack_arrays(d))
+        assert set(out) == set(d)
+        for k in d:
+            assert out[k].dtype == d[k].dtype
+            assert out[k].shape == d[k].shape
+            assert np.array_equal(out[k], d[k])
+
+
+class TestTransformMap:
+    def test_projections_invariant(self, rng, shared_desc):
+        tr = build_client_map(rng, 1, np.eye(4, dtype=np.float32), shared_desc)
+        m = tr.map
+        S = (jnp.asarray(se3.exp(jnp.asarray([0.5, 0.2, -0.1, 0.1, 0.2, 0.3]))[:3, :3]),
+             jnp.asarray([1.0, 2.0, 3.0]), jnp.float32(1.7))
+        m2 = fusion_ops.transform_map(m, *S)
+        # A landmark observed by a keyframe must project to the same pixel
+        # after the whole-map transform.
+        from corbslam_tpu.geometry import camera as cam_mod
+        mp_idx = np.asarray(m.kf.mp_idx[0])
+        f = np.nonzero(mp_idx >= 0)[0][0]
+        p = m.mp.pos[mp_idx[f]]
+        uv1 = cam_mod.project(CAM, se3.transform(m.kf.Tcw[0], p))
+        p2 = m2.mp.pos[mp_idx[f]]
+        uv2 = cam_mod.project(CAM, se3.transform(m2.kf.Tcw[0], p2))
+        assert np.allclose(np.asarray(uv1), np.asarray(uv2), atol=0.1)
+
+
+class TestTwoClientFusion:
+    @pytest.fixture()
+    def rig(self, voc, shared_desc):
+        transport = InProcTransport(serialize=True)
+        server = MapFusionServer(CAM, CFG, voc, transport, run_gba=False)
+        rng1, rng2 = np.random.default_rng(1), np.random.default_rng(2)
+        t1 = build_client_map(rng1, 1, np.eye(4, dtype=np.float32), shared_desc)
+        t2 = build_client_map(rng2, 2, T2_world(), shared_desc)
+        c1 = ClientCache(t1, transport, 1, CFG)
+        c2 = ClientCache(t2, transport, 2, CFG)
+        return transport, server, c1, c2
+
+    def test_fusion_recovers_alignment(self, rig):
+        transport, server, c1, c2 = rig
+        assert c1.uplink_step()
+        assert server.fuse_step()          # seeds global with client 1
+        assert 1 in server.transMs
+        assert c2.uplink_step()
+        assert server.fuse_step()          # aligns + merges client 2
+        assert server.sub[2].fused
+        R, t, s = server.transMs[2]
+        # Expected alignment: client-2 world -> global (= client-1 world =
+        # GT frame): the inverse of T2_world as a Sim3.
+        T_exp = np.linalg.inv(T2_world())
+        assert abs(s - 1.0) < 5e-3
+        assert np.allclose(R, T_exp[:3, :3], atol=5e-3), R
+        assert np.allclose(t, T_exp[:3, 3], atol=5e-2), (t, T_exp[:3, 3])
+        # Global map holds both clients' keyframes.
+        g = server.gmap
+        clients = np.asarray(g.kf.client)[np.asarray(g.kf.valid)]
+        assert set(clients.tolist()) == {1, 2}
+
+    def test_broadcast_reaches_clients(self, rig):
+        transport, server, c1, c2 = rig
+        c1.uplink_step(); server.fuse_step()
+        c2.uplink_step(); server.fuse_step()
+        server.broadcast_step()
+        n_kf_1 = int(c1.tracker.map.n_kf)
+        c1.downlink_step()
+        c2.downlink_step()
+        # Client 1 received client 2's keyframes (its own came back but were
+        # skipped), marked fixed.
+        m1 = c1.tracker.map
+        assert int(m1.n_kf) > n_kf_1
+        new_rows = np.arange(n_kf_1, int(m1.n_kf))
+        assert np.asarray(m1.kf.fixed[jnp.asarray(new_rows)]).all()
+        assert (np.asarray(m1.kf.client[jnp.asarray(new_rows)]) == 2).all()
+        assert c1.stats["foreign_kfs"] == 3
+        assert c1.stats["foreign_mps"] > 0
+
+        # Client 1's frame == global frame: client 2's shared landmarks must
+        # land on top of client 1's copies (same GT positions).
+        shared_gt = make_points(np.random.default_rng(7), 60)
+        pos = np.asarray(m1.mp.pos)
+        fr = np.asarray(m1.mp.fixed) & np.asarray(m1.mp.valid)
+        foreign_pos = pos[fr]
+        d = np.linalg.norm(foreign_pos[:, None, :] - shared_gt[None], axis=-1).min(axis=1)
+        assert np.median(d) < 0.05, np.median(d)
+
+        # Client 2 receives client 1's entities expressed in ITS OWN frame.
+        m2 = c2.tracker.map
+        fr2 = np.asarray(m2.mp.fixed) & np.asarray(m2.mp.valid)
+        T2 = T2_world()
+        shared_in_2 = shared_gt @ T2[:3, :3].T + T2[:3, 3]
+        d2 = np.linalg.norm(
+            np.asarray(m2.mp.pos)[fr2][:, None, :] - shared_in_2[None], axis=-1
+        ).min(axis=1)
+        assert np.median(d2) < 0.05, np.median(d2)
+
+    def test_pose_update_roundtrip(self, rig):
+        transport, server, c1, c2 = rig
+        c1.uplink_step(); server.fuse_step()
+        c2.uplink_step(); server.fuse_step()
+        server.broadcast_step()
+        c1.downlink_step(); c2.downlink_step()
+
+        # Client 1 moves one of its keyframes (as local BA would).
+        m1 = c1.tracker.map
+        T_new = np.asarray(m1.kf.Tcw[1]).copy()
+        T_new[0, 3] += 0.5
+        c1.tracker.map = m1._replace(
+            kf=m1.kf._replace(Tcw=m1.kf.Tcw.at[1].set(jnp.asarray(T_new)))
+        )
+        assert c1.uplink_step()
+        assert server.stats["kf_updates"] >= 1
+        server.broadcast_step()
+        c2.downlink_step()
+        # Client 2 sees the updated pose for that (foreign, fixed) keyframe,
+        # expressed in its own frame.
+        gid = c1.kf_ids.gid_of_row[1]
+        row2 = c2.kf_ids.row_of_gid[int(gid)]
+        got = np.asarray(c2.tracker.map.kf.Tcw[row2])
+        R2, t2, s2 = c2.Ttrans
+        Sinv = sim3.inverse((jnp.asarray(R2), jnp.asarray(t2), jnp.float32(s2)))
+        expect = np.asarray(fusion_ops.transform_poses(jnp.asarray(T_new), Sinv))
+        assert np.allclose(got, expect, atol=1e-4)
+
+    def test_failed_uplink_retries_without_loss(self, voc, shared_desc):
+        transport = InProcTransport(serialize=True, drop_calls=1)
+        server = MapFusionServer(CAM, CFG, voc, transport, run_gba=False)
+        t1 = build_client_map(np.random.default_rng(1), 1,
+                              np.eye(4, dtype=np.float32), shared_desc)
+        c1 = ClientCache(t1, transport, 1, CFG)
+        assert not c1.uplink_step()       # first call dropped -> NACK
+        assert c1.stats["failed_calls"] == 1
+        assert c1.uplink_step()           # retry delivers everything
+        assert server.stats["kfs_received"] == 3
+        assert server.stats["mps_received"] == 100
