@@ -15,14 +15,16 @@ from dataclasses import dataclass, field
 from enum import Enum
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..config import SlamConfig
 from ..geometry import camera as cam_mod
 from ..geometry import se3
-from ..mapping import local_mapping
+from ..mapping import local_mapping, triangulation
 from ..mapstate import mapstate as ms
+from ..matching import matcher
 from . import frame as frame_mod
 from . import track_ops
 
@@ -37,6 +39,7 @@ class TrackState(Enum):
 class TrackerStats:
     n_frames: int = 0
     n_keyframes: int = 0
+    n_relocalizations: int = 0
     inliers_history: list = field(default_factory=list)
 
 
@@ -68,24 +71,49 @@ class StereoTracker:
         self.ref_obs = 0  # tracked-point count when the last KF was made
         self.scales = jnp.asarray(cfg.orb.scales(), jnp.float32)
         self.trajectory: list = []  # (timestamp, Tcw np [4,4])
+        self.frame_states: list = []  # TrackState per processed frame
         self.stats = TrackerStats()
         self.mapping_queue_enabled = True
+        self.sensor = "stereo"
+        self._init_ref = None  # mono two-view init reference frame
+        self._reloc_key = jax.random.PRNGKey(client + 17)
 
     # ------------------------------------------------------------------
     def process_stereo(self, img_l, img_r, timestamp: float):
+        self.sensor = "stereo"
         cur = frame_mod.build_frame_stereo(img_l, img_r, self.cam, self.cfg.orb)
         return self._track(cur, timestamp)
 
     def process_rgbd(self, img, depth_map, timestamp: float):
+        self.sensor = "rgbd"
         cur = frame_mod.build_frame_rgbd(img, depth_map, self.cam, self.cfg.orb)
+        return self._track(cur, timestamp)
+
+    def process_mono(self, img, timestamp: float):
+        """Monocular ingest — `System::TrackMonocular` (System.cc:185)."""
+        self.sensor = "mono"
+        cur = frame_mod.build_frame_mono(img, self.cam, self.cfg.orb)
         return self._track(cur, timestamp)
 
     # ------------------------------------------------------------------
     def _track(self, cur: frame_mod.FrameData, timestamp: float):
         if self.state == TrackState.NOT_INITIALIZED:
-            ok = self._initialize(cur, timestamp)
+            if self.sensor == "mono":
+                self._initialize_mono(cur, timestamp)
+            else:
+                self._initialize(cur, timestamp)
             self.frame_id += 1
             return self.current_pose()
+
+        if self.state == TrackState.LOST:
+            if self._try_relocalize(cur, timestamp):
+                return self.current_pose()
+            if self.loop_closer is not None:
+                # Relocalization is the only way back (Tracking.cc:414-417).
+                self._finish_frame(cur, timestamp, lost=True)
+                return self.current_pose()
+            # No keyframe database attached: fall through and attempt
+            # motion-model re-acquisition from the last known pose.
 
         # Fold in a finished background global BA, if any (the reference's
         # Tracking waits on mMutexMapUpdate while LoopClosing writes;
@@ -162,6 +190,117 @@ class StereoTracker:
         self.stats.n_keyframes += 1
         return True
 
+    def _initialize_mono(self, cur: frame_mod.FrameData, timestamp: float):
+        """MonocularInitialization + CreateInitialMapMonocular (ref:
+        Tracking.cc:569, :643): hold a reference frame, match area-window,
+        run the two-view H/F bootstrap (solvers/initializer.py), scale the
+        map to unit median depth, seed two keyframes + landmarks."""
+        from ..solvers import initializer as init_mod
+
+        n_feat = int(jnp.sum(cur.fvalid))
+        if self._init_ref is None or n_feat < 100:
+            self._init_ref = cur if n_feat >= 100 else None
+            self._finish_frame(cur, timestamp, lost=True)
+            return False
+        ref = self._init_ref
+        res = matcher.search_for_initialization(
+            ref.xy, ref.desc, ref.angle, ref.fvalid,
+            cur.xy, cur.desc, cur.angle, cur.fvalid,
+            window=100.0, max_dist=self.cfg.matcher.th_low, ratio=0.9,
+        )
+        has = res.idx >= 0
+        if int(jnp.sum(has)) < 100:  # Tracking.cc:607 requires >= 100
+            self._init_ref = cur
+            self._finish_frame(cur, timestamp, lost=True)
+            return False
+        xy2 = cur.xy[jnp.clip(res.idx, 0)]
+        self._reloc_key, k = jax.random.split(self._reloc_key)
+        two = init_mod.initialize_two_view(
+            self.cam, ref.xy, xy2, has, k,
+            min_triangulated=50,
+        )
+        if not bool(two.ok):
+            self._finish_frame(cur, timestamp, lost=True)
+            return False
+
+        # Scale to unit median depth (CreateInitialMapMonocular,
+        # Tracking.cc:714 invMedianDepth).
+        good = two.good
+        z = jnp.where(good, two.X[:, 2], jnp.nan)
+        med = jnp.nanmedian(z)
+        inv_med = 1.0 / jnp.maximum(med, 1e-6)
+        X = two.X * inv_med
+        T2 = jnp.eye(4).at[:3, :3].set(two.R).at[:3, 3].set(two.t * inv_med)
+
+        # Landmarks (anchored at KF0 = the reference frame at identity).
+        F = ref.xy.shape[0]
+        dist = jnp.linalg.norm(X, axis=-1)
+        scales = jnp.asarray(self.cfg.orb.scales(), jnp.float32)
+        max_dist = dist * scales[ref.octave]
+        min_dist = max_dist / (self.cfg.orb.scale_factor ** (self.cfg.orb.n_levels - 1))
+        normal = X / jnp.maximum(dist[:, None], 1e-9)
+        self.map, rows = ms.add_map_points(
+            self.map, X, ref.desc, normal, min_dist, max_dist,
+            ref_kf=0, create=good, client=self.client,
+        )
+        mp_ref = jnp.where(good, rows, ms.NO_MP)
+        mp_cur = jnp.full(F, ms.NO_MP, jnp.int32)
+        f2 = jnp.clip(res.idx, 0)
+        mp_cur = mp_cur.at[jnp.where(good, f2, 0)].set(
+            jnp.where(good, rows, mp_cur[jnp.where(good, f2, 0)])
+        )
+        ref = ref._replace(Tcw=jnp.eye(4), mp_idx=mp_ref)
+        cur = cur._replace(Tcw=T2, mp_idx=mp_cur)
+        self.map, kf0 = ms.insert_keyframe(
+            self.map, ref.Tcw, ref.xy, ref.octave, ref.angle, ref.desc,
+            ref.uright, ref.depth, ref.fvalid, mp_ref,
+            frame_id=self.frame_id - 1, timestamp=timestamp,
+            client=self.client,
+        )
+        self.map, kf1 = ms.insert_keyframe(
+            self.map, cur.Tcw, cur.xy, cur.octave, cur.angle, cur.desc,
+            cur.uright, cur.depth, cur.fvalid, mp_cur,
+            frame_id=self.frame_id, timestamp=timestamp,
+            client=self.client,
+        )
+        # Two-view bundle adjustment over the fresh map (Tracking.cc:689).
+        self.map = local_mapping.local_ba(self.cam, self.map, kf1, self.cfg)
+        self.ref_kf = int(kf1)
+        self.state = TrackState.OK
+        self.last_kf_frame_id = self.frame_id
+        self.ref_obs = int(jnp.sum(good))
+        self.stats.n_keyframes += 2
+        self._init_ref = None
+        self._finish_frame(cur, timestamp)
+        return True
+
+    def _try_relocalize(self, cur: frame_mod.FrameData, timestamp: float) -> bool:
+        """Relocalization (Tracking.cc:1368) via the loop closer's keyframe
+        database; consolidates with a local-map tracking pass."""
+        if self.loop_closer is None:
+            return False
+        from . import reloc as reloc_mod
+
+        self._reloc_key, k = jax.random.split(self._reloc_key)
+        res = reloc_mod.relocalize(
+            self.cam, self.map, self.loop_closer.db, self.loop_closer.voc,
+            cur, k, self.cfg,
+        )
+        if res is None:
+            return False
+        out = track_ops.track_local_map(
+            self.cam, self.map, cur, res.Tcw, res.mp_idx, self.cfg
+        )
+        if int(out.n_inliers) < self.cfg.tracking.min_tracked_points:
+            return False
+        cur = cur._replace(Tcw=out.Tcw, mp_idx=out.mp_idx)
+        self.ref_kf = int(out.ref_kf)
+        self.state = TrackState.OK
+        self.velocity = jnp.eye(4)
+        self.stats.n_relocalizations += 1
+        self._finish_frame(cur, timestamp, lost=True)  # no velocity update
+        return True
+
     def _need_new_keyframe(
         self, cur, n_tracked: int,
         n_close_tracked: int = 1 << 30, n_close_spawnable: int = 0,
@@ -186,10 +325,11 @@ class StereoTracker:
         need_close = n_close_tracked < 100 and n_close_spawnable > 70
         if need_close:
             return True
-        if (
-            n_tracked < cfgt.kf_ref_ratio_stereo * max(self.ref_obs, 1)
-            and n_tracked > 15
-        ):
+        ratio = (
+            cfgt.kf_ref_ratio_mono if self.sensor == "mono"
+            else cfgt.kf_ref_ratio_stereo
+        )
+        if n_tracked < ratio * max(self.ref_obs, 1) and n_tracked > 15:
             return True
         return False
 
@@ -211,6 +351,13 @@ class StereoTracker:
         Fusion + local BA run per keyframe; the full-map maintenance passes
         (culling, normal/descriptor refresh) alternate keyframes — they are
         whole-map reductions whose freshness is not frame-critical."""
+        if self.sensor == "mono":
+            # Mono landmarks only come from inter-keyframe triangulation
+            # (CreateNewMapPoints, LocalMapping.cc:190); stereo/RGB-D spawn
+            # from per-frame depth at keyframe creation instead.
+            self.map = triangulation.create_new_points(
+                self.cam, self.map, kf_row, self.cfg
+            )
         self.map = local_mapping.fuse_into_kf(self.cam, self.map, kf_row, self.cfg)
         if self.stats.n_keyframes % 2 == 0:
             self.map = local_mapping.cull_map_points(self.map, kf_row, self.cfg)
@@ -225,6 +372,7 @@ class StereoTracker:
             self.velocity = se3.compose(cur.Tcw, se3.inverse(self.last_frame.Tcw))
         self.last_frame = cur
         self.trajectory.append((timestamp, np.asarray(cur.Tcw)))
+        self.frame_states.append(self.state)
         self.frame_id += 1
         self.stats.n_frames += 1
 

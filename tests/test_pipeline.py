@@ -119,3 +119,41 @@ class TestTrackingE2E:
         trajectory.save_kitti(str(path), tracker.trajectory_kitti())
         rows = np.loadtxt(path)
         assert rows.shape == (tracker.stats.n_frames, 12)
+
+
+class TestMonocularE2E:
+    """Monocular pipeline: two-view bootstrap + triangulation-based mapping
+    (scale-free — ATE evaluated with similarity alignment)."""
+
+    @pytest.fixture(scope="class")
+    def run(self, world):
+        tracker = StereoTracker(CAM, CFG)
+        gt = gt_trajectory(16, dx=0.15)
+        for i, Tcw in enumerate(gt):
+            img, _ = world.render_stereo(Tcw)
+            tracker.process_mono(img, timestamp=i * 0.1)
+        return tracker, gt
+
+    def test_initializes_and_tracks(self, run):
+        tracker, gt = run
+        assert tracker.state == TrackState.OK
+        assert tracker.stats.n_keyframes >= 2
+        n_valid_mp = int(jnp.sum(tracker.map.mp.valid))
+        assert n_valid_mp > 100, n_valid_mp
+
+    def test_ate_similarity_aligned(self, run):
+        tracker, gt = run
+        from corbslam_tpu.geometry import se3 as se3m
+        # Only frames tracked OK count (mono needs several frames of
+        # parallax before the two-view bootstrap fires; pre-init poses are
+        # placeholders).
+        tracked = [i for i, st in enumerate(tracker.frame_states)
+                   if st == TrackState.OK]
+        assert len(tracked) >= 8
+        est = [np.asarray(se3m.inverse(jnp.asarray(tracker.trajectory[i][1])))
+               for i in tracked]
+        gtw = [np.asarray(se3m.inverse(gt[i])) for i in tracked]
+        rmse = trajectory.ate_rmse(
+            np.asarray(est), np.asarray(gtw), align=True, with_scale=True
+        )
+        assert rmse < 0.15, rmse
