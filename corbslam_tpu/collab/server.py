@@ -487,25 +487,27 @@ class MapFusionServer:
             self._bcast_kf = n_kf
 
         # Updated poses / positions among already-broadcast rows.
-        Tcw = np.asarray(m.kf.Tcw[: self._bcast_kf])
-        moved = (
-            np.abs(Tcw - self._kf_pose_snap[: self._bcast_kf])
-            .reshape(len(Tcw), -1).max(axis=1) > 1e-7
-        ) & np.asarray(m.kf.valid[: self._bcast_kf])
-        rows = np.nonzero(moved)[0]
-        if len(rows):
-            msg = wire.kf_pose_msg(self.g_kf_ids.gid_of_row[rows], Tcw[rows])
-            msg.update(trans)
-            self.transport.publish(wire.TOPIC_UPD_KFS, msg)
-            self._kf_pose_snap[rows] = Tcw[rows]
+        if self._bcast_kf > 0:
+            Tcw = np.asarray(m.kf.Tcw[: self._bcast_kf])
+            moved = (
+                np.abs(Tcw - self._kf_pose_snap[: self._bcast_kf])
+                .reshape(len(Tcw), -1).max(axis=1) > 1e-7
+            ) & np.asarray(m.kf.valid[: self._bcast_kf])
+            rows = np.nonzero(moved)[0]
+            if len(rows):
+                msg = wire.kf_pose_msg(self.g_kf_ids.gid_of_row[rows], Tcw[rows])
+                msg.update(trans)
+                self.transport.publish(wire.TOPIC_UPD_KFS, msg)
+                self._kf_pose_snap[rows] = Tcw[rows]
 
-        pos = np.asarray(m.mp.pos[: self._bcast_mp])
-        movedp = (
-            np.abs(pos - self._mp_pos_snap[: self._bcast_mp]).max(axis=1) > 1e-7
-        ) & np.asarray(m.mp.valid[: self._bcast_mp])
-        rows = np.nonzero(movedp)[0]
-        if len(rows):
-            msg = wire.mp_pos_msg(self.g_mp_ids.gid_of_row[rows], pos[rows])
-            msg.update(trans)
-            self.transport.publish(wire.TOPIC_UPD_MPS, msg)
-            self._mp_pos_snap[rows] = pos[rows]
+        if self._bcast_mp > 0:
+            pos = np.asarray(m.mp.pos[: self._bcast_mp])
+            movedp = (
+                np.abs(pos - self._mp_pos_snap[: self._bcast_mp]).max(axis=1) > 1e-7
+            ) & np.asarray(m.mp.valid[: self._bcast_mp])
+            rows = np.nonzero(movedp)[0]
+            if len(rows):
+                msg = wire.mp_pos_msg(self.g_mp_ids.gid_of_row[rows], pos[rows])
+                msg.update(trans)
+                self.transport.publish(wire.TOPIC_UPD_MPS, msg)
+                self._mp_pos_snap[rows] = pos[rows]

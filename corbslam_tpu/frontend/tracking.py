@@ -364,6 +364,11 @@ class StereoTracker:
             self.map = local_mapping.refresh_point_geometry(self.map, self.cfg)
         if self.stats.n_keyframes >= 3:
             self.map = local_mapping.local_ba(self.cam, self.map, kf_row, self.cfg)
+        if self.stats.n_keyframes % 3 == 0 and self.stats.n_keyframes > 5:
+            # Redundant-keyframe culling (KeyFrameCulling, LocalMapping.cc:590).
+            self.map, kill = local_mapping.cull_keyframes(self.map, kf_row, self.cfg)
+            if self.loop_closer is not None:
+                self.loop_closer.db = self.loop_closer.db.remove(kill)
         if self.loop_closer is not None:
             self.map = self.loop_closer.process_keyframe(self.map, kf_row)
 

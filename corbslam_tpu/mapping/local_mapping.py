@@ -270,3 +270,59 @@ def local_ba(
 @partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
 def refresh_point_geometry(m: ms.MapState, cfg: SlamConfig) -> ms.MapState:
     return ms.update_point_geometry(m)
+
+
+@partial(jax.jit, static_argnames=("cfg", "window"))
+def find_redundant_keyframes(
+    m: ms.MapState, kf_row, cfg: SlamConfig, window: int = 8
+) -> jnp.ndarray:
+    """KeyFrameCulling (ref: LocalMapping.cc:590): a local keyframe is
+    redundant when >= 90% of its landmarks are observed by at least 3 OTHER
+    keyframes at the same or finer scale. Candidates are the covisible
+    neighbors of the current keyframe (the reference walks exactly those).
+    Returns a [N] kill mask — row 0 (gauge), the current keyframe, and
+    fixed/foreign keyframes are never culled.
+    """
+    N, F, M = m.kf.capacity, m.kf.n_features, m.mp.capacity
+    w = covis.covis_weights_single(m, kf_row) * m.kf.valid
+    w = w.at[kf_row].set(0)
+    cand_vals, cand_rows = jax.lax.top_k(w, window)
+    cand_ok = cand_vals > 0
+
+    idx_all = m.kf.mp_idx
+    contrib_all = (idx_all >= 0) & m.kf.fvalid & m.kf.valid[:, None]
+    oct_all = m.kf.octave
+
+    def redundancy(c, ok):
+        idx_c = m.kf.mp_idx[c]
+        bound = (idx_c >= 0) & m.kf.fvalid[c]
+        # Per-landmark octave threshold from THIS keyframe's observation
+        # (scaleLevel + 1 rule, LocalMapping.cc:613).
+        thr = jnp.full(M, -1, jnp.int32)
+        thr = thr.at[jnp.where(bound, idx_c, 0)].max(
+            jnp.where(bound, m.kf.octave[c] + 1, -1)
+        )
+        # Observations elsewhere at acceptable scale.
+        fine = contrib_all & (oct_all <= thr[jnp.clip(idx_all, 0)])
+        fine = fine & (jnp.arange(N) != c)[:, None]
+        counts = jax.ops.segment_sum(
+            fine.reshape(-1).astype(jnp.int32),
+            jnp.where(contrib_all, idx_all, 0).reshape(-1), M,
+        )
+        red = jnp.where(bound, counts[jnp.clip(idx_c, 0)] >= 3, False)
+        n_bound = jnp.sum(bound)
+        ratio = jnp.sum(red) / jnp.maximum(n_bound, 1)
+        return ok & (n_bound > 10) & (ratio > cfg.mapping.kf_cull_redundancy)
+
+    kill_c = jax.vmap(redundancy)(cand_rows, cand_ok)
+    kill = jnp.zeros(N, bool).at[cand_rows].max(kill_c)
+    kill &= m.kf.valid & ~m.kf.fixed
+    kill = kill.at[0].set(False).at[kf_row].set(False)
+    return kill
+
+
+def cull_keyframes(m: ms.MapState, kf_row, cfg: SlamConfig):
+    """Apply the redundancy rule; returns (map, kill mask) so callers can
+    also drop the rows from their BoW database."""
+    kill = find_redundant_keyframes(m, kf_row, cfg)
+    return ms.cull_keyframes(m, kill), kill
