@@ -35,30 +35,57 @@ from .transport import Transport
 
 
 class IdMap:
-    """Bidirectional row <-> gid bookkeeping for one map's entity class."""
+    """Bidirectional row <-> gid bookkeeping for one map's entity class.
+
+    gid = origin_cid * stride + origin_row, and origin_row < capacity <<
+    stride, so the reverse map is a dense [cid][gid % stride] table — all
+    lookups are vectorized numpy indexing, no per-gid Python loops.
+    """
 
     def __init__(self, capacity: int, cid: int, stride: int):
         self.gid_of_row = np.full(capacity, -1, np.int64)
-        self.row_of_gid: Dict[int, int] = {}
+        self._row_of: Dict[int, np.ndarray] = {}  # origin cid -> [stride-local] rows
         self.cid = cid
         self.stride = stride
+        self.capacity = capacity
+
+    def _table(self, cid: int) -> np.ndarray:
+        t = self._row_of.get(cid)
+        if t is None:
+            t = np.full(self.capacity, -1, np.int32)
+            self._row_of[cid] = t
+        return t
 
     def assign_own(self, rows: np.ndarray):
-        gids = self.cid * self.stride + rows.astype(np.int64)
+        rows = np.asarray(rows, np.int64)
+        gids = self.cid * self.stride + rows
         self.gid_of_row[rows] = gids
-        for r, g in zip(rows.tolist(), gids.tolist()):
-            self.row_of_gid[g] = r
+        self._table(self.cid)[rows] = rows.astype(np.int32)
         return gids
 
     def assign_foreign(self, rows: np.ndarray, gids: np.ndarray):
+        rows = np.asarray(rows, np.int64)
+        gids = np.asarray(gids, np.int64)
         self.gid_of_row[rows] = gids
-        for r, g in zip(rows.tolist(), gids.tolist()):
-            self.row_of_gid[int(g)] = int(r)
+        for c in np.unique(gids // self.stride):
+            sel = (gids // self.stride) == c
+            self._table(int(c))[gids[sel] % self.stride] = rows[sel].astype(np.int32)
 
     def rows_for(self, gids: np.ndarray) -> np.ndarray:
-        return np.asarray(
-            [self.row_of_gid.get(int(g), -1) for g in gids], np.int32
-        )
+        gids = np.asarray(gids, np.int64)
+        out = np.full(gids.shape, -1, np.int32)
+        valid = gids >= 0
+        for c in np.unique(gids[valid] // self.stride):
+            sel = valid & ((gids // self.stride) == c)
+            loc = gids[sel] % self.stride
+            in_range = loc < self.capacity
+            vals = np.full(len(loc), -1, np.int32)
+            vals[in_range] = self._table(int(c))[loc[in_range]]
+            out[sel] = vals
+        return out
+
+    def known_mask(self, gids: np.ndarray) -> np.ndarray:
+        return self.rows_for(gids) >= 0
 
 
 class ClientCache:
@@ -99,13 +126,22 @@ class ClientCache:
     # ------------------------------------------------------------------
 
     def uplink_step(self) -> bool:
-        """One sync cycle: push new keyframes, new map points, then pose /
-        position deltas. Returns True if everything was acknowledged."""
+        """One sync cycle: push new map points, new keyframes, then pose /
+        position deltas. Returns True if everything was acknowledged.
+
+        Map points MUST be acked before the keyframes that observe them go
+        out: kf_insert_msg encodes observations as mp gids via
+        `mp_ids.gid_of_row`, which is only assigned on MP ack. Pushing KFs
+        after a failed MP push would wire-encode those observations as -1
+        and the server (which then marks the KF gid known) would never
+        re-receive the bindings — so a failed MP push aborts the cycle and
+        the whole batch retries next period."""
         m = self.tracker.map
-        ok = True
-        ok &= self._push_new_mps(m)
-        ok &= self._push_new_kfs(m)
-        ok &= self._push_pose_deltas(m)
+        if not self._push_new_mps(m):
+            return False
+        if not self._push_new_kfs(m):
+            return False
+        ok = self._push_pose_deltas(m)
         ok &= self._push_pos_deltas(m)
         return ok
 
@@ -256,8 +292,7 @@ class ClientCache:
         """Mask of entities to insert: not ours, not already known
         (Cache.cc:471-474 skips own-client and existing ids)."""
         own = (gids // idmap.stride) == self.cid
-        known = np.asarray([int(g) in idmap.row_of_gid for g in gids])
-        return ~own & ~known
+        return ~own & ~idmap.known_mask(gids)
 
     def _apply_new_mps(self, msg):
         gids = msg["gid"]

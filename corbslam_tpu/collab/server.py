@@ -118,8 +118,7 @@ class MapFusionServer:
         """Insert keyframe records into a map, optionally re-expressed by
         `align` (sub-world -> dst-world). Returns updated (map, db)."""
         gids = msg["gid"]
-        known = np.asarray([int(g) in kf_ids.row_of_gid for g in gids])
-        idxs = np.nonzero(~known)[0]
+        idxs = np.nonzero(~kf_ids.known_mask(gids))[0]
         free = m.kf.capacity - int(m.n_kf)
         idxs = idxs[: max(free, 0)]
         for lo in range(0, len(idxs), fusion_ops.KF_CHUNK):
@@ -170,8 +169,7 @@ class MapFusionServer:
     def _insert_mps_into(self, m, mp_ids, kf_ids, msg,
                          align: Optional[tuple]):
         gids = msg["gid"]
-        known = np.asarray([int(g) in mp_ids.row_of_gid for g in gids])
-        idxs = np.nonzero(~known)[0]
+        idxs = np.nonzero(~mp_ids.known_mask(gids))[0]
         free = m.mp.capacity - int(m.n_mp)
         idxs = idxs[: max(free, 0)]
         for lo in range(0, len(idxs), fusion_ops.MP_CHUNK):
@@ -370,6 +368,7 @@ class MapFusionServer:
 
         # --- keyframes with remapped observations ------------------------
         sub_kf_rows = np.nonzero(np.asarray(moved.kf.valid))[0]
+        kf_row_map = np.full(moved.kf.capacity, -1, np.int32)
         mp_idx_all = np.asarray(moved.kf.mp_idx)
         for lo in range(0, len(sub_kf_rows), fusion_ops.KF_CHUNK):
             sel = sub_kf_rows[lo:lo + fusion_ops.KF_CHUNK]
@@ -393,6 +392,7 @@ class MapFusionServer:
                 fixed=jnp.zeros(C, bool),
             )
             rows_np = np.asarray(rows)[: len(sel)]
+            kf_row_map[sel] = rows_np
             self.g_kf_ids.assign_foreign(rows_np, sm.kf_ids.gid_of_row[sel])
             bows = vocab_mod.transform_batch(
                 self.voc, g.kf.desc[jnp.asarray(rows_np)],
@@ -400,6 +400,24 @@ class MapFusionServer:
             )
             for i, rr in enumerate(rows_np.tolist()):
                 self.gdb = self.gdb.add(rr, bows[i])
+
+        # --- second pass: remap landmark reference keyframes --------------
+        # MP chunks were inserted before the keyframes (KFs reference MP
+        # rows), so their ref_kf anchors could not be remapped inline; fix
+        # them up now so server-side correction propagation (GBA merge-back,
+        # essential-graph writeback) moves these points with their true
+        # anchor instead of the pinned gauge keyframe.
+        ins_mp = sub_mp_rows[mp_row_map[sub_mp_rows] >= 0]
+        if len(ins_mp):
+            old_ref = np.asarray(moved.mp.ref_kf)[ins_mp]
+            new_ref = np.where(
+                old_ref >= 0, kf_row_map[np.clip(old_ref, 0, None)], -1
+            )
+            g = g._replace(mp=g.mp._replace(
+                ref_kf=g.mp.ref_kf.at[jnp.asarray(mp_row_map[ins_mp])].set(
+                    jnp.asarray(np.clip(new_ref, 0, None))
+                )
+            ))
 
         self.gmap = g
         self.transMs[cid] = (np.asarray(R), np.asarray(t), float(s))

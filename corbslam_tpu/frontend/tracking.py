@@ -98,11 +98,12 @@ class StereoTracker:
     # ------------------------------------------------------------------
     def _track(self, cur: frame_mod.FrameData, timestamp: float):
         if self.state == TrackState.NOT_INITIALIZED:
+            # Every init path ends in _finish_frame, which owns the single
+            # frame_id increment (no double counting).
             if self.sensor == "mono":
                 self._initialize_mono(cur, timestamp)
             else:
                 self._initialize(cur, timestamp)
-            self.frame_id += 1
             return self.current_pose()
 
         if self.state == TrackState.LOST:
@@ -176,6 +177,7 @@ class StereoTracker:
         enough depth features seeds the map at the origin."""
         n_depth = int(jnp.sum((cur.depth > 0) & cur.fvalid))
         if n_depth < 100:
+            self._finish_frame(cur, timestamp, lost=True)
             return False
         cur = cur._replace(Tcw=jnp.eye(4))
         self.map, kf_row, mp_idx = track_ops.insert_keyframe_with_points(
@@ -244,11 +246,12 @@ class StereoTracker:
             ref_kf=0, create=good, client=self.client,
         )
         mp_ref = jnp.where(good, rows, ms.NO_MP)
+        # Scatter bindings onto the matched cur features; non-good lanes go
+        # to an out-of-range index and are dropped, so a valid binding on
+        # cur feature 0 can't be clobbered by sentinel writes.
         mp_cur = jnp.full(F, ms.NO_MP, jnp.int32)
-        f2 = jnp.clip(res.idx, 0)
-        mp_cur = mp_cur.at[jnp.where(good, f2, 0)].set(
-            jnp.where(good, rows, mp_cur[jnp.where(good, f2, 0)])
-        )
+        f2 = jnp.where(good, jnp.clip(res.idx, 0), F)
+        mp_cur = mp_cur.at[f2].set(rows, mode="drop")
         ref = ref._replace(Tcw=jnp.eye(4), mp_idx=mp_ref)
         cur = cur._replace(Tcw=T2, mp_idx=mp_cur)
         self.map, kf0 = ms.insert_keyframe(

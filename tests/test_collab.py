@@ -261,7 +261,7 @@ class TestTwoClientFusion:
         # Client 2 sees the updated pose for that (foreign, fixed) keyframe,
         # expressed in its own frame.
         gid = c1.kf_ids.gid_of_row[1]
-        row2 = c2.kf_ids.row_of_gid[int(gid)]
+        row2 = int(c2.kf_ids.rows_for(np.asarray([gid]))[0])
         got = np.asarray(c2.tracker.map.kf.Tcw[row2])
         R2, t2, s2 = c2.Ttrans
         Sinv = sim3.inverse((jnp.asarray(R2), jnp.asarray(t2), jnp.float32(s2)))
