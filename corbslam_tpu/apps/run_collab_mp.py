@@ -1,0 +1,311 @@
+"""Multi-PROCESS collaborative SLAM runner + scaling harness.
+
+The deployment shape of the reference — N client processes and one map
+fusion server process exchanging messages over a network transport
+(ref: README.md:55-75 roscore + corbslam_server + N dataset clients;
+services corbslam_server/src/main.cpp:49-55, client RPC
+DataDriver.cc:183) — using the TCP socket transport
+(collab/socket_transport.py) instead of ROS1.
+
+Roles (one binary, like roslaunch):
+    driver (default)  spawn server + N clients, join, report, and with
+                      --scaling also run the 1-client baseline and write
+                      SCALING json (aggregate throughput + efficiency).
+    server            run MapFusionServer over SocketServerTransport.
+    client            run one CorbslamClient over SocketClientTransport.
+
+    python -m corbslam_tpu.apps.run_collab_mp --clients 4 --frames 40
+
+All processes force the CPU platform: this harness measures the
+collaboration layer (transport, fusion, broadcast), not chip throughput,
+and the TPU relay admits one process at a time.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+
+def _force_cpu():
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+
+def _build_cfg():
+    from ..config import CapacityConfig, OrbConfig, SlamConfig
+
+    return SlamConfig(
+        orb=OrbConfig(n_features=512, n_levels=4, cell_size=12),
+        capacity=CapacityConfig(
+            max_keyframes=256, max_map_points=32768, max_features=512,
+            local_window_kfs=8, local_window_mps=2048,
+        ),
+    )
+
+
+def _camera():
+    from ..geometry import camera
+
+    return camera.Intrinsics.create(
+        fx=320.0, fy=320.0, cx=160.0, cy=120.0, bf=160.0, width=320, height=240
+    )
+
+
+def _world(cam):
+    from ..io import synthetic
+
+    return synthetic.PlanarWorld(
+        cam, texture_size=2048, plane_dist=10.0, texture_scale=40.0
+    )
+
+
+# ---------------------------------------------------------------------------
+def run_server(args):
+    _force_cpu()
+    import numpy as np
+
+    from ..collab.server import MapFusionServer
+    from ..collab.socket_transport import SocketServerTransport
+    from ..place.vocab import Vocabulary
+
+    v = np.load(args.vocab)
+    voc = Vocabulary(word_bits=v["word_bits"], idf=v["idf"])
+    cam, cfg = _camera(), _build_cfg()
+
+    transport = SocketServerTransport()
+    port = transport.start()
+    with open(args.portfile + ".tmp", "w") as f:
+        f.write(str(port))
+    os.rename(args.portfile + ".tmp", args.portfile)
+
+    server = MapFusionServer(
+        cam, cfg, voc, transport, run_gba=args.gba, synchronous_gba=True
+    )
+    t_last_fuse = 0.0
+    deadline = time.time() + args.timeout
+    while time.time() < deadline:
+        n = transport.serve_calls()
+        now = time.time()
+        if now - t_last_fuse > 1.0:
+            server.fuse_step()
+            server.broadcast_step()
+            t_last_fuse = now
+        if os.path.exists(args.stopfile):
+            break
+        if n == 0:
+            time.sleep(0.01)
+    # Final drain: serve whatever arrived, fuse, broadcast.
+    for _ in range(10):
+        transport.serve_calls()
+        time.sleep(0.05)
+    server.fuse_step()
+    server.broadcast_step()
+    time.sleep(0.3)  # let the last broadcast flush to client sockets
+    stats = dict(server.stats)
+    stats["global_kfs"] = int(server.gmap.n_kf)
+    stats["global_mps"] = int(np.asarray(server.gmap.mp.valid).sum())
+    stats["clients_seen"] = transport.clients
+    with open(args.out, "w") as f:
+        json.dump(stats, f)
+    transport.close()
+    print(f"[server] {stats}")
+
+
+# ---------------------------------------------------------------------------
+def run_client(args):
+    _force_cpu()
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .. import system as system_mod
+    from ..collab.socket_transport import SocketClientTransport
+    from ..geometry import se3
+    from ..place.vocab import Vocabulary
+
+    v = np.load(args.vocab)
+    voc = Vocabulary(word_bits=v["word_bits"], idf=v["idf"])
+    cam, cfg = _camera(), _build_cfg()
+    world = _world(cam)
+    tilt = se3.exp(jnp.asarray([0, 0, 0, 0.35, 0, 0], jnp.float32))
+    k = args.client_id - 1
+
+    def gt_pose(i):
+        xi = jnp.asarray(
+            [-(i * 0.12) - k * 0.4, 0.0, -(i * 0.03), 0.0, i * 0.004, 0.0],
+            jnp.float32,
+        )
+        return se3.compose(tilt, se3.exp(xi))
+
+    transport = SocketClientTransport(args.client_id, port=args.port)
+    c = system_mod.CorbslamClient(
+        cam, cfg, sensor="stereo", client_id=args.client_id, voc=voc,
+        transport=transport, enable_loop_closing=False,
+    )
+    c.uplink_every = 10
+    c.downlink_every = 5
+
+    # Pre-render (and warm the compile cache) outside the timed region.
+    frames = []
+    for i in range(args.frames):
+        l, r = world.render_stereo(gt_pose(i))
+        frames.append((np.asarray(l), np.asarray(r)))
+    c.track_stereo(jnp.asarray(frames[0][0]), jnp.asarray(frames[0][1]), 0.0)
+
+    t0 = time.perf_counter()
+    for i in range(1, args.frames):
+        c.track_stereo(jnp.asarray(frames[i][0]), jnp.asarray(frames[i][1]),
+                       i * 0.1)
+    dt = time.perf_counter() - t0
+    c.shutdown()
+    time.sleep(0.5)  # stay subscribed for the server's final broadcast
+    c.cache.downlink_step()
+    st = c.cache.stats
+    out = {
+        "client": args.client_id,
+        "fps": (args.frames - 1) / dt,
+        "frames": args.frames,
+        "kfs_pushed": st["kfs_pushed"],
+        "mps_pushed": st["mps_pushed"],
+        "foreign_kfs": st["foreign_kfs"],
+        "has_transm": c.cache.Ttrans is not None,
+        "n_kf": int(c.tracker.map.n_kf),
+    }
+    with open(args.out, "w") as f:
+        json.dump(out, f)
+    transport.close()
+    print(f"[client {args.client_id}] {out}")
+
+
+# ---------------------------------------------------------------------------
+def _spawn(role, extra, env=None):
+    cmd = [sys.executable, "-m", "corbslam_tpu.apps.run_collab_mp",
+           "--role", role] + extra
+    e = dict(os.environ)
+    e.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.jax_cache"))
+    if env:
+        e.update(env)
+    return subprocess.Popen(cmd, env=e)
+
+
+def _run_fleet(n_clients, frames, tmp, gba=False, tag=""):
+    """Spawn 1 server + n clients; return (server_stats, [client_stats])."""
+    portfile = os.path.join(tmp, f"port{tag}")
+    stopfile = os.path.join(tmp, f"stop{tag}")
+    vocab = os.path.join(tmp, "vocab.npz")
+    sout = os.path.join(tmp, f"server{tag}.json")
+    srv = _spawn("server", [
+        "--portfile", portfile, "--stopfile", stopfile, "--vocab", vocab,
+        "--out", sout, "--timeout", "900",
+    ] + (["--gba"] if gba else []))
+    t0 = time.time()
+    while not os.path.exists(portfile):
+        if time.time() - t0 > 120 or srv.poll() is not None:
+            raise RuntimeError("server failed to start")
+        time.sleep(0.05)
+    port = int(open(portfile).read())
+
+    procs, outs = [], []
+    for k in range(n_clients):
+        cout = os.path.join(tmp, f"client{tag}_{k + 1}.json")
+        outs.append(cout)
+        procs.append(_spawn("client", [
+            "--client-id", str(k + 1), "--port", str(port),
+            "--frames", str(frames), "--vocab", vocab, "--out", cout,
+        ]))
+    for p in procs:
+        if p.wait() != 0:
+            raise RuntimeError("client process failed")
+    open(stopfile, "w").write("1")
+    if srv.wait() != 0:
+        raise RuntimeError("server process failed")
+    server_stats = json.load(open(sout))
+    client_stats = [json.load(open(o)) for o in outs]
+    return server_stats, client_stats
+
+
+def run_driver(args):
+    _force_cpu()
+    import numpy as np
+
+    from ..frontend import frame as frame_mod
+    from ..geometry import se3
+    from ..place import vocab as vocab_mod
+    import jax.numpy as jnp
+
+    tmp = args.workdir or tempfile.mkdtemp(prefix="corbslam_mp_")
+    os.makedirs(tmp, exist_ok=True)
+    cam, cfg = _camera(), _build_cfg()
+    world = _world(cam)
+    tilt = se3.exp(jnp.asarray([0, 0, 0, 0.35, 0, 0], jnp.float32))
+    img0, _ = world.render_stereo(tilt)
+    f0 = frame_mod.build_frame_mono(img0, cam, cfg.orb)
+    voc = vocab_mod.train(f0.desc, n_words=512, n_iters=5)
+    np.savez(os.path.join(tmp, "vocab.npz"),
+             word_bits=np.asarray(voc.word_bits), idf=np.asarray(voc.idf))
+
+    ss, cs = _run_fleet(args.clients, args.frames, tmp, gba=args.gba, tag="N")
+    agg_fps = sum(c["fps"] for c in cs)
+    print(f"[driver] N={args.clients}: fusions={ss['fusions']} "
+          f"global={ss['global_kfs']}KF/{ss['global_mps']}MP "
+          f"aggregate {agg_fps:.2f} fps")
+    for c in cs:
+        print(f"[driver]   client {c['client']}: {c['fps']:.2f} fps, "
+              f"pushed {c['kfs_pushed']} KFs, foreign {c['foreign_kfs']}, "
+              f"transm={c['has_transm']}")
+
+    result = {"n_clients": args.clients, "server": ss, "clients": cs,
+              "aggregate_fps": agg_fps}
+    if args.scaling:
+        s1, c1 = _run_fleet(1, args.frames, tmp, gba=args.gba, tag="1")
+        base = c1[0]["fps"]
+        eff = (agg_fps / args.clients) / base if base > 0 else 0.0
+        result["baseline_fps_1client"] = base
+        result["scaling_efficiency"] = eff
+        print(f"[driver] 1-client baseline {base:.2f} fps -> "
+              f"scaling efficiency {eff:.3f} at N={args.clients}")
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(result, f, indent=1)
+    return result
+
+
+# ---------------------------------------------------------------------------
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--role", default="driver",
+                    choices=["driver", "server", "client"])
+    ap.add_argument("--clients", type=int, default=2)
+    ap.add_argument("--frames", type=int, default=30)
+    ap.add_argument("--gba", action="store_true")
+    ap.add_argument("--scaling", action="store_true",
+                    help="also run 1-client baseline and report efficiency")
+    ap.add_argument("--json-out", default="")
+    ap.add_argument("--workdir", default="")
+    # server/client plumbing
+    ap.add_argument("--client-id", type=int, default=1)
+    ap.add_argument("--port", type=int, default=0)
+    ap.add_argument("--portfile", default="")
+    ap.add_argument("--stopfile", default="")
+    ap.add_argument("--vocab", default="")
+    ap.add_argument("--out", default="")
+    ap.add_argument("--timeout", type=float, default=900.0)
+    args = ap.parse_args(argv)
+
+    if args.role == "server":
+        run_server(args)
+    elif args.role == "client":
+        run_client(args)
+    else:
+        run_driver(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -4,15 +4,14 @@ Replaces ROS1 (ref: XML-RPC + TCPROS; services advertised at
 corbslam_server/src/main.cpp:49-55, topics at PubToClient.cpp:17-20;
 client subscriptions at Cache.cc:425-440). Two implementations:
 
-- `InProcTransport`: queues in one process — the hermetic multi-client
-  test rig (SURVEY.md §4: the reference's roscore-on-localhost pattern,
-  done in-process), also the single-host multi-client deployment shape
-  where client shards and the fusion controller share a pod and exchange
-  device arrays directly.
-- Multi-host: the same `Transport` interface backed by sockets
-  (runtime/ C++ codec + TCP), or by jax multi-host collectives when
-  client shards and the server run inside one pjit program (SURVEY.md
-  §5.8 TPU-native equivalent).
+- `InProcTransport` (here): queues in one process — the hermetic
+  multi-client test rig (SURVEY.md §4: the reference's
+  roscore-on-localhost pattern, done in-process), also the single-host
+  multi-client deployment shape where client shards and the fusion
+  controller share a pod and exchange device arrays directly.
+- `socket_transport.SocketServerTransport` / `SocketClientTransport`:
+  the same interface over TCP for N client processes + 1 server process
+  (the reference's actual deployment shape).
 
 Unlike the reference — which clears its dirty snapshot before the RPC and
 silently DROPS deltas on failure (DataDriver.cc:70-73, flagged in
