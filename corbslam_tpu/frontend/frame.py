@@ -48,12 +48,7 @@ def build_frame_stereo(
     fl = orb.extract(img_l, cfg)
     fr = orb.extract(img_r, cfg)
     scales, _ = scale_tables(cfg)
-    uright, depth, _ = stereo.match_stereo(
-        img_l, img_r,
-        fl.xy, fl.octave, fl.desc, fl.valid,
-        fr.xy, fr.octave, fr.desc, fr.valid,
-        scales, float(cam.bf),
-    )
+    uright, depth, _ = stereo.match_stereo_features(fl, fr, scales, float(cam.bf))
     xy_und = cam_mod.undistort_points(cam, fl.xy)
     F = fl.xy.shape[0]
     return FrameData(

@@ -62,38 +62,153 @@ class StereoTracker:
         self.client = client
         self.loop_closer = loop_closer  # loop.loop_closing.LoopCloser or None
         self.map = ms.empty(cfg.capacity)
-        self.state = TrackState.NOT_INITIALIZED
+        self._state = TrackState.NOT_INITIALIZED
         self.last_frame: Optional[frame_mod.FrameData] = None
         self.velocity = jnp.eye(4)  # T_cur_last
         self.last_kf_frame_id = 0
         self.frame_id = 0
         self.ref_kf = 0
+        self._ref_kf_dev = jnp.int32(0)  # device copy for pipelined dispatch
+        self._pending = None  # in-flight fused frame: (result, ts, frame_id)
         self.ref_obs = 0  # tracked-point count when the last KF was made
         self.scales = jnp.asarray(cfg.orb.scales(), jnp.float32)
-        self.trajectory: list = []  # (timestamp, Tcw np [4,4])
-        self.frame_states: list = []  # TrackState per processed frame
+        self._traj: list = []  # (timestamp, Tcw np [4,4])
+        self._frame_states: list = []  # TrackState per processed frame
         self.stats = TrackerStats()
         self.mapping_queue_enabled = True
         self.sensor = "stereo"
         self._init_ref = None  # mono two-view init reference frame
         self._reloc_key = jax.random.PRNGKey(client + 17)
+        K1 = cfg.capacity.local_window_kfs
+        self._local_rows = jnp.zeros(K1, jnp.int32)
+        self._local_ok = jnp.zeros(K1, bool)
+
+    # ------------------------------------------------------------------
+    # External views. Reads FLUSH the in-flight pipelined frame first so
+    # callers (apps, caches, tests) always see a consistent retired state;
+    # internal code uses the underscored fields to keep the pipeline deep.
+    # ------------------------------------------------------------------
+    @property
+    def state(self) -> "TrackState":
+        self.flush()
+        return self._state
+
+    @state.setter
+    def state(self, v):
+        self._state = v
+
+    @property
+    def trajectory(self) -> list:
+        self.flush()
+        return self._traj
+
+    @property
+    def frame_states(self) -> list:
+        self.flush()
+        return self._frame_states
 
     # ------------------------------------------------------------------
     def process_stereo(self, img_l, img_r, timestamp: float):
         self.sensor = "stereo"
-        cur = frame_mod.build_frame_stereo(img_l, img_r, self.cam, self.cfg.orb)
-        return self._track(cur, timestamp)
+        return self._process("stereo", (img_l, img_r), timestamp)
 
     def process_rgbd(self, img, depth_map, timestamp: float):
         self.sensor = "rgbd"
-        cur = frame_mod.build_frame_rgbd(img, depth_map, self.cam, self.cfg.orb)
-        return self._track(cur, timestamp)
+        return self._process("rgbd", (img, depth_map), timestamp)
 
     def process_mono(self, img, timestamp: float):
         """Monocular ingest — `System::TrackMonocular` (System.cc:185)."""
         self.sensor = "mono"
-        cur = frame_mod.build_frame_mono(img, self.cam, self.cfg.orb)
+        return self._process("mono", (img,), timestamp)
+
+    def _process(self, sensor: str, images, timestamp: float):
+        if self._state == TrackState.OK:
+            return self._dispatch_fused(sensor, images, timestamp)
+        self.flush()  # the in-flight frame decides the real state
+        if self._state == TrackState.OK:
+            return self._dispatch_fused(sensor, images, timestamp)
+        if sensor == "stereo":
+            cur = frame_mod.build_frame_stereo(
+                images[0], images[1], self.cam, self.cfg.orb)
+        elif sensor == "rgbd":
+            cur = frame_mod.build_frame_rgbd(
+                images[0], images[1], self.cam, self.cfg.orb)
+        else:
+            cur = frame_mod.build_frame_mono(images[0], self.cam, self.cfg.orb)
         return self._track(cur, timestamp)
+
+    # ------------------------------------------------------------------
+    # Pipelined OK-state path: ONE fused device program per frame
+    # (track_ops.track_frame_*), retired one frame later so its summary
+    # sync (~1 dispatch round trip) overlaps the next frame's compute —
+    # the TPU equivalent of the reference's tracking/mapping thread
+    # overlap (SURVEY.md §2.4 P1).
+    # ------------------------------------------------------------------
+    def _dispatch_fused(self, sensor: str, images, timestamp: float):
+        if self.loop_closer is not None:
+            self.map = self.loop_closer.try_merge_gba(self.map)
+
+        kwargs = dict(
+            ref_kf=self._ref_kf_dev,
+            prev_local_rows=self._local_rows,
+            prev_local_ok=self._local_ok,
+            cam=self.cam, cfg=self.cfg,
+        )
+        if sensor == "stereo":
+            out = track_ops.track_frame_stereo(
+                self.map, self.last_frame, self.velocity, images[0], images[1],
+                **kwargs)
+        elif sensor == "rgbd":
+            out = track_ops.track_frame_rgbd(
+                self.map, self.last_frame, self.velocity, images[0], images[1],
+                **kwargs)
+        else:
+            out = track_ops.track_frame_mono(
+                self.map, self.last_frame, self.velocity, images[0], **kwargs)
+
+        # Advance the device-side state immediately (all async).
+        self.map = out.map
+        self.last_frame = out.cur
+        self.velocity = out.velocity
+        self._local_rows = out.local_rows
+        self._local_ok = out.local_ok
+        self._ref_kf_dev = out.ref_kf
+        prev_pending = self._pending
+        self._pending = (out, timestamp, self.frame_id)
+        self.frame_id += 1
+        if prev_pending is not None:
+            self._retire(*prev_pending)
+        return self.current_pose()
+
+    def flush(self):
+        """Retire the in-flight pipelined frame, if any."""
+        if self._pending is not None:
+            p, self._pending = self._pending, None
+            self._retire(*p)
+
+    def _retire(self, out, timestamp: float, fid: int):
+        """Consume a fused frame's summary (the one host sync): state
+        machine, trajectory, keyframe policy — the host half of Track()."""
+        s = np.asarray(out.summary)
+        n_track, n_local = int(s[0]), int(s[2])
+        Tcw_np = s[8:24].reshape(4, 4).copy()
+        cur = out.cur
+        self._traj.append((timestamp, Tcw_np))
+        self.stats.n_frames += 1
+
+        lost = (n_track < self.cfg.tracking.min_inliers_motion
+                or n_local < self.cfg.tracking.min_tracked_points // 2)
+        if lost:
+            self._state = TrackState.LOST
+            self._frame_states.append(self._state)
+            return
+        self._state = TrackState.OK
+        self.ref_kf = int(s[3])
+        self._ref_kf_dev = jnp.int32(self.ref_kf)
+        if self._need_new_keyframe(cur, n_local, int(s[4]), int(s[5]), fid=fid):
+            self._create_keyframe(cur, timestamp, n_local, fid=fid)
+        self._frame_states.append(self._state)
+        self.stats.inliers_history.append(n_local)
 
     # ------------------------------------------------------------------
     def _track(self, cur: frame_mod.FrameData, timestamp: float):
@@ -148,6 +263,7 @@ class StereoTracker:
         n_local = int(res.n_inliers)
         cur = cur._replace(Tcw=res.Tcw, mp_idx=res.mp_idx)
         self.ref_kf = int(res.ref_kf)
+        self._ref_kf_dev = jnp.int32(self.ref_kf)
         self.map = track_ops.update_tracking_stats(
             self.map, res.visible_rows, res.visible_mask, res.found_rows_mask
         )
@@ -186,6 +302,7 @@ class StereoTracker:
         )
         cur = cur._replace(mp_idx=mp_idx)
         self.ref_kf = int(kf_row)
+        self._ref_kf_dev = jnp.int32(self.ref_kf)
         self.state = TrackState.OK
         self.last_kf_frame_id = self.frame_id
         self._finish_frame(cur, timestamp)
@@ -269,6 +386,7 @@ class StereoTracker:
         # Two-view bundle adjustment over the fresh map (Tracking.cc:689).
         self.map = local_mapping.local_ba(self.cam, self.map, kf1, self.cfg)
         self.ref_kf = int(kf1)
+        self._ref_kf_dev = jnp.int32(self.ref_kf)
         self.state = TrackState.OK
         self.last_kf_frame_id = self.frame_id
         self.ref_obs = int(jnp.sum(good))
@@ -298,6 +416,7 @@ class StereoTracker:
             return False
         cur = cur._replace(Tcw=out.Tcw, mp_idx=out.mp_idx)
         self.ref_kf = int(out.ref_kf)
+        self._ref_kf_dev = jnp.int32(self.ref_kf)
         self.state = TrackState.OK
         self.velocity = jnp.eye(4)
         self.stats.n_relocalizations += 1
@@ -307,6 +426,7 @@ class StereoTracker:
     def _need_new_keyframe(
         self, cur, n_tracked: int,
         n_close_tracked: int = 1 << 30, n_close_spawnable: int = 0,
+        fid: Optional[int] = None,
     ) -> bool:
         """NeedNewKeyFrame (ref: Tracking.cc:995): max-frame gap, the
         tracked count fell below thRefRatio of what the last keyframe saw,
@@ -318,7 +438,9 @@ class StereoTracker:
         nRefMatches-with-minObs — raw per-KF feature counts include every
         freshly spawned point and would trigger a keyframe every frame)."""
         cfgt = self.cfg.tracking
-        frames_since_kf = self.frame_id - self.last_kf_frame_id
+        if fid is None:
+            fid = self.frame_id
+        frames_since_kf = fid - self.last_kf_frame_id
         if frames_since_kf < cfgt.min_frames_between_kf + 1:
             return False
         if frames_since_kf >= cfgt.max_frames_between_kf:
@@ -336,15 +458,19 @@ class StereoTracker:
             return True
         return False
 
-    def _create_keyframe(self, cur, timestamp: float, n_tracked: int = 0):
+    def _create_keyframe(self, cur, timestamp: float, n_tracked: int = 0,
+                         fid: Optional[int] = None):
+        if fid is None:
+            fid = self.frame_id
         self.ref_obs = max(n_tracked, 100)
         self.map, kf_row, mp_idx = track_ops.insert_keyframe_with_points(
-            self.cam, self.map, cur, self.frame_id, timestamp,
+            self.cam, self.map, cur, fid, timestamp,
             self.cfg, client=self.client,
         )
         cur = cur._replace(mp_idx=mp_idx)
-        self.last_kf_frame_id = self.frame_id
+        self.last_kf_frame_id = fid
         self.ref_kf = int(kf_row)
+        self._ref_kf_dev = jnp.int32(self.ref_kf)
         self.stats.n_keyframes += 1
         if self.mapping_queue_enabled:
             self._mapping_step(int(kf_row))
@@ -375,18 +501,28 @@ class StereoTracker:
         if self.loop_closer is not None:
             self.map = self.loop_closer.process_keyframe(self.map, kf_row)
 
-    def _finish_frame(self, cur, timestamp: float, lost: bool = False):
+    def _finish_frame(self, cur, timestamp: float, lost: bool = False,
+                      Tcw_np: Optional[np.ndarray] = None):
+        """Bookkeeping tail of every frame. `lost=True` skips the velocity
+        update (the fused path also uses it after setting velocity itself,
+        from the device program's output). `Tcw_np` avoids a second
+        device->host transfer when the pose already came back in the fused
+        summary vector."""
         if self.last_frame is not None and not lost:
             self.velocity = se3.compose(cur.Tcw, se3.inverse(self.last_frame.Tcw))
         self.last_frame = cur
-        self.trajectory.append((timestamp, np.asarray(cur.Tcw)))
-        self.frame_states.append(self.state)
+        self._traj.append(
+            (timestamp, np.asarray(cur.Tcw) if Tcw_np is None else Tcw_np)
+        )
+        self._frame_states.append(self._state)
         self.frame_id += 1
         self.stats.n_frames += 1
 
     # ------------------------------------------------------------------
     def current_pose(self) -> np.ndarray:
-        return self.trajectory[-1][1] if self.trajectory else np.eye(4)
+        """Latest RETIRED pose (may lag the in-flight pipelined frame by
+        one; use `flush()` + `trajectory` for the complete history)."""
+        return self._traj[-1][1] if self._traj else np.eye(4)
 
     def trajectory_kitti(self) -> np.ndarray:
         """[T, 3, 4] Twc rows — the SaveTrajectoryKITTI format

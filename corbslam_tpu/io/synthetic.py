@@ -43,10 +43,11 @@ def bilinear_sample(img: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray) -> jnp.n
     y0 = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
     x1 = jnp.clip(x0 + 1, 0, w - 1)
     y1 = jnp.clip(y0 + 1, 0, h - 1)
-    v00 = img[y0, x0]
-    v01 = img[y0, x1]
-    v10 = img[y1, x0]
-    v11 = img[y1, x1]
+    flat = img.reshape(-1)  # flat 1-D gathers are the fast TPU lowering
+    v00 = flat[y0 * w + x0]
+    v01 = flat[y0 * w + x1]
+    v10 = flat[y1 * w + x0]
+    v11 = flat[y1 * w + x1]
     return (
         v00 * (1 - dy) * (1 - dx)
         + v01 * (1 - dy) * dx

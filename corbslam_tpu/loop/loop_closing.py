@@ -128,10 +128,8 @@ def compute_sim3(
     # Widen: project the candidate's local map points into the query
     # keyframe with the implied pose Scw_q = S_qc ∘ Scw_c
     # (GlobalOptimize.cpp:199-211 SearchByProjection, accept >= 40 total).
-    w_c = covis.covis_weights_single(m, kf_c) * m.kf.valid
-    w_c = w_c.at[kf_c].set(jnp.int32(2 ** 30))
-    nb_vals, nb_rows = jax.lax.top_k(w_c, cfg.capacity.local_window_kfs)
-    nb_ok = nb_vals > 0
+    nb_rows, nb_ok = covis.top_covisible_of(
+        m, kf_c, cfg.capacity.local_window_kfs, self_weight=2 ** 30)
     pmask = covis.local_map_mask(m, nb_rows, nb_ok)
     rows, rows_ok = covis.compact_indices(pmask, m.kf.n_features * 2)
 
@@ -404,10 +402,9 @@ def fuse_loop_points(
     points into the (already corrected) query keyframe and its neighbors,
     merging duplicate landmarks. One fuse pass on the query keyframe — the
     covisible neighbors then inherit merges through the relabeled mp_idx."""
-    w_c = covis.covis_weights_single(m, kf_c) * m.kf.valid
-    w_c = w_c.at[kf_c].set(jnp.int32(2 ** 30))
-    nb_vals, nb_rows = jax.lax.top_k(w_c, cfg.capacity.local_window_kfs)
-    pmask = covis.local_map_mask(m, nb_rows, nb_vals > 0)
+    nb_rows, nb_ok = covis.top_covisible_of(
+        m, kf_c, cfg.capacity.local_window_kfs, self_weight=2 ** 30)
+    pmask = covis.local_map_mask(m, nb_rows, nb_ok)
     rows, rows_ok = covis.compact_indices(pmask, m.kf.n_features * 2)
     return local_mapping.fuse_rows_into_kf(
         cam, m, kf_q, rows, rows_ok, cfg, radius=4.0
@@ -515,12 +512,17 @@ class LoopCloser:
         return m
 
     def _update_consistency(self, m: ms.MapState, cand: List[int]) -> List[int]:
-        """Covisibility-consistency filtering (LoopClosing.cc:150-231)."""
-        W = np.asarray(covis.covis_weights_matrix_rows(m, jnp.asarray(cand)))
+        """Covisibility-consistency filtering (LoopClosing.cc:150-231).
+
+        Candidate groups come from the bounded anchor window
+        (covis.covis_groups_rows) instead of full observation-table scans —
+        one [C, F] gather for all candidates."""
+        grp, gok = covis.covis_groups_rows(m, jnp.asarray(cand), n_group=24)
+        grp_np, gok_np = np.asarray(grp), np.asarray(gok)
         enough: List[int] = []
         new_groups: List[_ConsistentGroup] = []
         for ci, c in enumerate(cand):
-            group = set(np.nonzero(W[ci] >= 15)[0].tolist()) | {c}
+            group = set(grp_np[ci][gok_np[ci]].tolist()) | {c}
             consistent = False
             for prev in self.consistent_groups:
                 if group & prev.rows:

@@ -58,10 +58,8 @@ def fuse_into_kf(
     """
     # Candidate points: seen by covisible neighbors, not already bound to
     # this keyframe.
-    w = covis.covis_weights_single(m, kf_row) * m.kf.valid
-    w = w.at[kf_row].set(0)
-    nb_vals, nb_rows = jax.lax.top_k(w, cfg.capacity.local_window_kfs)
-    nb_ok = nb_vals > 0
+    nb_rows, nb_ok = covis.top_covisible_of(
+        m, kf_row, cfg.capacity.local_window_kfs)
     pmask = covis.local_map_mask(m, nb_rows, nb_ok)
     pmask &= ~covis.point_mask_of_kf(m, kf_row)
     rows, rows_ok = covis.compact_indices(pmask, m.kf.n_features * 2)
@@ -147,11 +145,8 @@ def select_local_ba_window(
     """Window = current KF + top covisible; frontier = other observers of
     the local points, held fixed (ref: Optimizer.cc:491-545 lLocalKeyFrames
     / lFixedCameras)."""
-    w = covis.covis_weights_single(m, kf_row)
-    w = w * m.kf.valid  # only live KFs
-    w = w.at[kf_row].set(jnp.int32(2**30))  # current KF always first
-    win_vals, win_rows = jax.lax.top_k(w, window)
-    win_ok = win_vals > 0
+    win_rows, win_ok = covis.top_covisible_of(
+        m, kf_row, window, self_weight=2 ** 30)  # current KF always first
 
     pmask = covis.local_map_mask(m, win_rows, win_ok)
     mp_rows, mp_ok = covis.compact_indices(pmask, m.kf.n_features * 4)
@@ -284,10 +279,7 @@ def find_redundant_keyframes(
     fixed/foreign keyframes are never culled.
     """
     N, F, M = m.kf.capacity, m.kf.n_features, m.mp.capacity
-    w = covis.covis_weights_single(m, kf_row) * m.kf.valid
-    w = w.at[kf_row].set(0)
-    cand_vals, cand_rows = jax.lax.top_k(w, window)
-    cand_ok = cand_vals > 0
+    cand_rows, cand_ok = covis.top_covisible_of(m, kf_row, window)
 
     idx_all = m.kf.mp_idx
     contrib_all = (idx_all >= 0) & m.kf.fvalid & m.kf.valid[:, None]

@@ -71,10 +71,8 @@ def create_new_points(
     scales = jnp.asarray(cfg.orb.scales(), jnp.float32)
     sigma2 = scales ** 2
 
-    w = covis.covis_weights_single(m, kf_row) * m.kf.valid
-    w = w.at[kf_row].set(0)
-    nb_vals, nb_rows = jax.lax.top_k(w, n_neighbors)
-    nb_ok = nb_vals >= 15  # GetBestCovisibilityKeyFrames threshold
+    nb_rows, nb_ok = covis.top_covisible_of(
+        m, kf_row, n_neighbors, min_weight=15)  # GetBestCovisibility threshold
 
     T1 = m.kf.Tcw[kf_row]
     xy1 = m.kf.xy[kf_row]

@@ -71,6 +71,111 @@ def covis_matrix(m: MapState) -> jnp.ndarray:
     return W
 
 
+# ---------------------------------------------------------------------------
+# Candidate-windowed covisibility — the per-keyframe hot path.
+#
+# covis_weights_single costs a [N, F] gather (~32 ms on-chip for the default
+# capacities, tools/true_bench2.py) and runs several times per keyframe in
+# the mapping pipeline. The bounded form below computes EXACT shared-point
+# weights, but only against a ~160-row candidate set: the anchor keyframes
+# of q's own landmarks (mp.ref_kf — which reach arbitrarily OLD keyframes
+# after loop closures, since old points keep old anchors) plus the most
+# recent keyframes. The reference walks per-point observation lists
+# (KeyFrame::UpdateConnections, KeyFrame.cc:266) — anchors + recency is the
+# fixed-shape stand-in for that observer walk.
+# ---------------------------------------------------------------------------
+
+def anchor_candidates(m: MapState, mp_rows: jnp.ndarray, ok: jnp.ndarray,
+                      n_anchor: int, n_recent: int, extra_rows=()):
+    """Bounded keyframe-candidate set for covisibility against a landmark
+    set: top anchor keyframes of the given map-point rows (by hit count) +
+    the `n_recent` newest keyframes + any extras. Returns (cand, cand_ok)."""
+    N = m.kf.capacity
+    n_anchor = min(n_anchor, N)
+    n_recent = min(n_recent, N)
+    anchors = m.mp.ref_kf[jnp.clip(mp_rows, 0)]
+    cnt = jnp.zeros(N, jnp.int32).at[
+        jnp.where(ok & (anchors >= 0), anchors, N)
+    ].add(1, mode="drop")
+    a_vals, a_rows = jax.lax.top_k(cnt, n_anchor)
+    a_ok = a_vals > 0
+    r = jnp.arange(n_recent, dtype=jnp.int32)
+    r_rows = jnp.clip(m.n_kf - 1 - r, 0)
+    r_ok = (m.n_kf - 1 - r) >= 0
+    parts_r = [a_rows.astype(jnp.int32), r_rows]
+    parts_o = [a_ok, r_ok]
+    for e in extra_rows:
+        e = jnp.atleast_1d(jnp.asarray(e, jnp.int32))
+        parts_r.append(e)
+        parts_o.append(jnp.ones(e.shape, bool))
+    return jnp.concatenate(parts_r), jnp.concatenate(parts_o)
+
+
+def dedupe_candidate_weights(cand: jnp.ndarray, w: jnp.ndarray,
+                             ok=None) -> jnp.ndarray:
+    """Zero the weight of repeated candidate rows (keep the first VALID
+    occurrence — invalid entries, e.g. top-k padding rows, must not shadow
+    a later valid duplicate)."""
+    C = cand.shape[0]
+    eff = cand if ok is None else jnp.where(
+        ok, cand, -1 - jnp.arange(C, dtype=cand.dtype))
+    eq = eff[:, None] == eff[None, :]
+    dup = jnp.any(eq & jnp.tril(jnp.ones((C, C), bool), -1), axis=1)
+    return jnp.where(dup, 0, w)
+
+
+def candidate_covis_weights(m: MapState, q, n_anchor: int = 112,
+                            n_recent: int = 47):
+    """(cand [C], w [C]) exact shared-point counts between keyframe q and
+    the bounded candidate set (C = n_anchor + n_recent + 1; q included)."""
+    idxq = m.kf.mp_idx[q]
+    okq = (idxq >= 0) & m.kf.fvalid[q]
+    cand, cand_ok = anchor_candidates(m, idxq, okq, n_anchor, n_recent, [q])
+    pmask = point_mask_of_kf(m, q)
+    cidx = m.kf.mp_idx[cand]
+    contrib = (cidx >= 0) & m.kf.fvalid[cand] & m.kf.valid[cand][:, None]
+    contrib &= cand_ok[:, None]
+    share = jnp.where(contrib, pmask[jnp.clip(cidx, 0)], False)
+    w = jnp.sum(share, axis=1).astype(jnp.int32)
+    return cand, dedupe_candidate_weights(cand, w, cand_ok)
+
+
+def top_covisible_of(m: MapState, q, k: int, min_weight: int = 1,
+                     self_weight: int = 0):
+    """Top-k covisible keyframe rows of q over the candidate window —
+    the bounded GetBestCovisibilityKeyFrames (KeyFrame.cc:276).
+
+    `self_weight=0` excludes q; a large value (2**30) pins q first.
+    Returns (rows [k], ok [k])."""
+    cand, w = candidate_covis_weights(m, q)
+    w = jnp.where(cand == q, self_weight, w)
+    vals, li = jax.lax.top_k(w, min(k, cand.shape[0]))
+    rows, ok = cand[li], vals >= max(min_weight, 1)
+    if k > cand.shape[0]:  # tiny-capacity configs: pad to the asked size
+        pad = k - cand.shape[0]
+        rows = jnp.concatenate([rows, jnp.zeros(pad, rows.dtype)])
+        ok = jnp.concatenate([ok, jnp.zeros(pad, bool)])
+    return rows, ok
+
+
+def covis_groups_rows(m: MapState, rows: jnp.ndarray, n_group: int = 10):
+    """[C, n_group] covisible-group keyframe rows for each given row + ok
+    mask — the per-candidate accumulation groups of DetectLoopCandidates
+    (KeyFrameDatabase.cc:120-160), via the anchor approximation (one
+    [C, F] gather instead of C full observation-table scans)."""
+    N = m.kf.capacity
+    idx = m.kf.mp_idx[rows]                        # [C, F]
+    ok = (idx >= 0) & m.kf.fvalid[rows]
+    anchors = m.mp.ref_kf[jnp.clip(idx, 0)]        # [C, F]
+    C = rows.shape[0]
+    cnt = jnp.zeros((C, N), jnp.int32)
+    rr = jnp.broadcast_to(jnp.arange(C)[:, None], anchors.shape)
+    cnt = cnt.at[rr, jnp.where(ok & (anchors >= 0), anchors, 0)].add(
+        (ok & (anchors >= 0)).astype(jnp.int32))
+    vals, grp = jax.lax.top_k(cnt, min(n_group, N))
+    return grp, vals > 0
+
+
 def top_covisible(weights: jnp.ndarray, q, k: int, min_weight: int = 15):
     """Top-k covisible keyframe rows of q by weight (excluding q itself).
 

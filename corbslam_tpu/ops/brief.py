@@ -46,11 +46,16 @@ BRIEF_PATTERN = _make_pattern()
 
 
 def _gather_pixels(img: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray) -> jnp.ndarray:
-    """Clamped 2-D gather: img [H, W], ys/xs [...]-> [...] f32."""
+    """Clamped gather: img [H, W], ys/xs [...] -> [...] f32.
+
+    Linearized to ONE flat 1-D gather — XLA:TPU lowers flat gathers to a
+    fast vectorized form, while 2-D advanced indexing (img[ys, xs]) takes a
+    far slower multi-index path (measured on-chip, tools/true_bench.py).
+    """
     h, w = img.shape
     ys = jnp.clip(ys, 0, h - 1)
     xs = jnp.clip(xs, 0, w - 1)
-    return img[ys, xs]
+    return img.reshape(-1)[ys * w + xs]
 
 
 def compute_orientation(img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
@@ -93,4 +98,86 @@ def compute_brief(
     bits = (vals[..., 0] < vals[..., 1]).astype(jnp.uint8)  # [K, 256]
     from .descriptors import pack_bits
 
+    return pack_bits(bits)
+
+
+# ---------------------------------------------------------------------------
+# Patch-based (gather-free) forms — the TPU hot path used by ops/orb.py.
+# The `compute_orientation` / `compute_brief` gather forms above remain as
+# the semantic reference (and for ad-hoc single-keypoint use); the forms
+# below compute the same quantities from pre-extracted patches with
+# matmuls only (see ops/patches.py for why).
+# ---------------------------------------------------------------------------
+
+N_ANGLE_BINS = 16  # rotated-BRIEF steering quantization (22.5 deg steps)
+
+
+def _orientation_weights(patch: int) -> np.ndarray:
+    """[patch*patch, 2] moment weights (m01: dy, m10: dx) over the circular
+    radius-15 patch, keypoint at (patch//2, patch//2) — IC_Angle's moments."""
+    c = patch // 2
+    ys, xs = np.mgrid[0:patch, 0:patch]
+    dy = (ys - c).astype(np.float32)
+    dx = (xs - c).astype(np.float32)
+    mask = (dy * dy + dx * dx <= PATCH_RADIUS * PATCH_RADIUS).astype(np.float32)
+    return np.stack([(dy * mask).reshape(-1), (dx * mask).reshape(-1)], axis=-1)
+
+
+def _brief_selection(patch: int, n_bins: int) -> np.ndarray:
+    """[patch*patch, n_bins*512] one-hot selection matrix.
+
+    Column (b*512 + 2*i + e) selects the pixel of pattern pair i, endpoint
+    e, rotated by bin angle 2*pi*b/n_bins and rounded — the steered-BRIEF
+    table, precomputed per angle bin so descriptor sampling is ONE matmul.
+    """
+    c = patch // 2
+    pat = BRIEF_PATTERN.astype(np.float32)  # [256, 2, 2] (pair, pt, (y, x))
+    py, px = pat[..., 0], pat[..., 1]       # [256, 2]
+    sel = np.zeros((patch * patch, n_bins * 512), np.float32)
+    lim = patch // 2 - 1
+    for b in range(n_bins):
+        th = 2.0 * np.pi * b / n_bins
+        cth, sth = np.cos(th), np.sin(th)
+        rx = np.clip(np.round(px * cth - py * sth), -lim, lim).astype(np.int64)
+        ry = np.clip(np.round(px * sth + py * cth), -lim, lim).astype(np.int64)
+        lin = (c + ry) * patch + (c + rx)   # [256, 2]
+        cols = b * 512 + np.arange(256)[:, None] * 2 + np.arange(2)[None, :]
+        sel[lin.reshape(-1), cols.reshape(-1)] = 1.0
+    return sel
+
+
+def orientation_from_patches(patches: jnp.ndarray) -> jnp.ndarray:
+    """[K, P, P] raw-image patches (keypoint centered) -> angle [K] rad."""
+    K, P, _ = patches.shape
+    w = jnp.asarray(_orientation_weights(P))
+    m = jnp.dot(
+        patches.reshape(K, P * P), w,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [K, 2] = (m01, m10)
+    return jnp.arctan2(m[:, 0], m[:, 1])
+
+
+def brief_from_patches(patches: jnp.ndarray, angle: jnp.ndarray) -> jnp.ndarray:
+    """[K, P, P] BLURRED patches + angle [K] -> packed uint8 [K, 32].
+
+    Steering is quantized to N_ANGLE_BINS (the pattern LUT per bin): one
+    [K, P*P] @ [P*P, bins*512] selection matmul samples every bin's points,
+    then a masked sum picks each keypoint's bin. Self-consistent across the
+    framework — every descriptor is produced by this same quantization.
+    """
+    from .descriptors import pack_bits
+
+    K, P, _ = patches.shape
+    B = N_ANGLE_BINS
+    sel = jnp.asarray(_brief_selection(P, B))
+    allsamp = jnp.dot(
+        patches.reshape(K, P * P), sel, preferred_element_type=jnp.float32
+    ).reshape(K, B, 512)
+    two_pi = 2.0 * jnp.pi
+    binf = jnp.round((angle % two_pi) / two_pi * B).astype(jnp.int32) % B
+    onb = (binf[:, None] == jnp.arange(B)[None, :]).astype(jnp.float32)
+    samp = jnp.sum(allsamp * onb[:, :, None], axis=1)  # [K, 512]
+    pairs = samp.reshape(K, 256, 2)
+    bits = (pairs[..., 0] < pairs[..., 1]).astype(jnp.uint8)
     return pack_bits(bits)

@@ -11,9 +11,11 @@ spreading uses per-cell argmax + global top-k over cells — a data-parallel
 equivalent with the same intent (even keypoint coverage), no pointer
 chasing.
 
-Everything here operates on [H, W] f32 maps and is fully fuseable by XLA
-(pure shifts + elementwise ops + reshapes); a Pallas fusion exists in
-`ops/fast_pallas.py` for the TPU hot path.
+Everything here operates on [H, W] f32 maps and is fully fuseable by XLA:
+the 16 ring reads are static slices of one zero-padded image (measured
+on-chip at ~0.5 ms per KITTI-sized score map, tools/true_bench.py), the
+windowed arc min/max is a log-depth tree reduction, and selection is
+per-cell argmax + one top-k.
 """
 
 from __future__ import annotations
@@ -39,22 +41,27 @@ FAST_OFFSETS = np.array(
 ARC_LEN = 9  # FAST-9
 
 
-def _shift2d(img: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
-    """Shift with edge padding so ring reads near borders stay in range."""
-    return jnp.roll(img, shift=(-dy, -dx), axis=(0, 1))
-
-
-def fast_score_map(img: jnp.ndarray, threshold: float) -> jnp.ndarray:
+def fast_score_map(img: jnp.ndarray, threshold: float, border: int = 16) -> jnp.ndarray:
     """FAST-9 corner score per pixel. img [H, W] f32 -> score [H, W] f32.
 
     Score = max over the 16 contiguous 9-arcs of min_i (d_i - t) for bright
     arcs and min_i (-d_i - t) for dark arcs, clipped at 0 — i.e. "by how much
     does the weakest pixel of the best arc clear the threshold". Zero means
-    not a corner. Border pixels (3 px) are zeroed.
+    not a corner. Pixels within `border` of the edge are zeroed — default 16
+    matching the reference's descriptor-safe detection margin
+    (EDGE_THRESHOLD-3, ORBextractor.cc:765 minBorderX).
     """
+    h, w = img.shape
     center = img
+    # Ring reads as static slices of a 3-px zero-padded image (cheaper than
+    # jnp.roll's concat pairs; borders are masked out below anyway).
+    padded = jnp.pad(img, 3)
     ring = jnp.stack(
-        [_shift2d(img, int(dy), int(dx)) for dy, dx in FAST_OFFSETS], axis=0
+        [
+            jax.lax.dynamic_slice(padded, (3 + int(dy), 3 + int(dx)), (h, w))
+            for dy, dx in FAST_OFFSETS
+        ],
+        axis=0,
     )  # [16, H, W]
     d = ring - center[None]  # [16, H, W]
 
@@ -78,11 +85,11 @@ def fast_score_map(img: jnp.ndarray, threshold: float) -> jnp.ndarray:
     dark_score = -jnp.min(dark_max, axis=0) - threshold
     score = jnp.maximum(jnp.maximum(bright_score, dark_score), 0.0)
 
-    # Zero the 3-pixel border (ring reads wrap around there).
-    h, w = img.shape
+    # Zero the border (ring reads hit the zero pad; descriptors need margin).
+    b = max(border, 3)
     yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    interior = (yy >= 3) & (yy < h - 3) & (xx >= 3) & (xx < w - 3)
+    interior = (yy >= b) & (yy < h - b) & (xx >= b) & (xx < w - b)
     return jnp.where(interior, score, 0.0)
 
 
@@ -94,10 +101,7 @@ def nms3x3(score: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(score >= neigh, score, 0.0)
 
 
-@partial(jax.jit, static_argnames=("cell", "max_kp"))
-def select_keypoints_grid(
-    score: jnp.ndarray, cell: int, max_kp: int
-):
+def select_keypoints_cells(score: jnp.ndarray, cell: int, max_kp: int):
     """Spatially-spread keypoint selection: per-cell argmax + global top-k.
 
     The TPU-native stand-in for `DistributeOctTree` (ORBextractor.cc:539):
@@ -105,7 +109,10 @@ def select_keypoints_grid(
     survives, and the `max_kp` best boxes win. Guarantees at most one
     keypoint per cell => even spatial coverage.
 
-    Returns (xy [max_kp, 2] f32 (x, y), resp [max_kp], valid [max_kp]).
+    Returns a dict with per-winner arrays of length max_kp:
+      xy [max_kp, 2] f32 (x, y) in level pixels, resp, valid,
+      cell_id (row into the [gy*gx] cell grid), iy/ix (in-cell offsets) —
+    the cell fields feed gather-free patch extraction (ops/patches.py).
     """
     h, w = score.shape
     ph = (cell - h % cell) % cell
@@ -115,14 +122,15 @@ def select_keypoints_grid(
     gy, gx = H // cell, W // cell
     tiles = s.reshape(gy, cell, gx, cell).transpose(0, 2, 1, 3).reshape(gy * gx, cell * cell)
     best_in_cell = jnp.argmax(tiles, axis=1)
-    best_val = jnp.take_along_axis(tiles, best_in_cell[:, None], axis=1)[:, 0]
+    best_val = jnp.max(tiles, axis=1)
 
     k = min(max_kp, gy * gx)
     top_val, top_cell = jax.lax.top_k(best_val, k)
     cy = top_cell // gx
     cx = top_cell % gx
-    iy = best_in_cell[top_cell] // cell
-    ix = best_in_cell[top_cell] % cell
+    inside = best_in_cell[top_cell]
+    iy = inside // cell
+    ix = inside % cell
     y = cy * cell + iy
     x = cx * cell + ix
     valid = top_val > 0.0
@@ -132,7 +140,21 @@ def select_keypoints_grid(
         xy = jnp.concatenate([xy, jnp.zeros((pad, 2), jnp.float32)])
         top_val = jnp.concatenate([top_val, jnp.zeros(pad, top_val.dtype)])
         valid = jnp.concatenate([valid, jnp.zeros(pad, bool)])
-    return xy, top_val, valid
+        top_cell = jnp.concatenate([top_cell, jnp.zeros(pad, top_cell.dtype)])
+        iy = jnp.concatenate([iy, jnp.zeros(pad, iy.dtype)])
+        ix = jnp.concatenate([ix, jnp.zeros(pad, ix.dtype)])
+    return {
+        "xy": xy, "resp": top_val, "valid": valid,
+        "cell_id": top_cell, "iy": iy, "ix": ix,
+        "grid_hw": (gy, gx),
+    }
+
+
+@partial(jax.jit, static_argnames=("cell", "max_kp"))
+def select_keypoints_grid(score: jnp.ndarray, cell: int, max_kp: int):
+    """Back-compat wrapper: (xy, resp, valid) of select_keypoints_cells."""
+    d = select_keypoints_cells(score, cell, max_kp)
+    return d["xy"], d["resp"], d["valid"]
 
 
 def detect(
@@ -153,3 +175,18 @@ def detect(
     score = fast_score_map(img, lo)
     score = nms3x3(score)
     return select_keypoints_grid(score, cell, max_kp)
+
+
+def detect_cells(
+    img: jnp.ndarray,
+    threshold: float,
+    cell: int,
+    max_kp: int,
+    min_threshold: float | None = None,
+):
+    """Like `detect` but returns the cell-structured dict of
+    `select_keypoints_cells` (feeds gather-free patch extraction)."""
+    lo = threshold if min_threshold is None else min_threshold
+    score = fast_score_map(img, lo)
+    score = nms3x3(score)
+    return select_keypoints_cells(score, cell, max_kp)

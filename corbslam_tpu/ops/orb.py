@@ -6,8 +6,17 @@ geometry that produces a fixed-capacity keypoint set across all pyramid
 levels. Output coordinates are in level-0 pixels (the reference rescales by
 `scale` at ORBextractor.cc:1097-1100).
 
+Hot-path structure (all matmul/slice work, no per-pixel gathers — see
+ops/patches.py for the measured rationale):
+  per level:  FAST score -> NMS -> per-cell winners,
+              cell windows (raw + blurred) -> winner row-gather
+  all levels concatenated:
+              one-hot recenter -> orientation matvec -> binned-BRIEF matmul
+
 Returned `Features` is a flat SoA batch — the device-resident form of the
-reference's vector<cv::KeyPoint> + descriptor Mat.
+reference's vector<cv::KeyPoint> + descriptor Mat. `patch` holds the raw
+keypoint-centered patch per feature (feeds stereo SAD refinement without
+re-touching the image).
 """
 
 from __future__ import annotations
@@ -19,7 +28,10 @@ import jax
 import jax.numpy as jnp
 
 from ..config import OrbConfig
-from . import brief, fast, pyramid
+from . import brief, fast, patches, pyramid
+
+RAW_PATCH = 32   # raw-image patch (orientation moments + stereo SAD)
+BRIEF_PATCH = 40  # blurred-image patch (rotated BRIEF sampling)
 
 
 class Features(NamedTuple):
@@ -29,19 +41,11 @@ class Features(NamedTuple):
     octave: jnp.ndarray    # [N] i32 pyramid level
     desc: jnp.ndarray      # [N, 32] u8 packed BRIEF-256
     valid: jnp.ndarray     # [N] bool
+    patch: jnp.ndarray     # [N, RAW_PATCH, RAW_PATCH] f32 raw patch (level px)
 
     @property
     def n(self):
         return self.xy.shape[0]
-
-
-def _extract_level(img, blurred, n_kp, cfg: OrbConfig):
-    xy, resp, valid = fast.detect(
-        img, cfg.ini_th_fast, cfg.cell_size, n_kp, cfg.min_th_fast
-    )
-    angle = brief.compute_orientation(img, xy)
-    desc = brief.compute_brief(blurred, xy, angle)
-    return xy, resp, angle, desc, valid
 
 
 def extract(img: jnp.ndarray, cfg: OrbConfig) -> Features:
@@ -51,22 +55,38 @@ def extract(img: jnp.ndarray, cfg: OrbConfig) -> Features:
     budgets = cfg.features_per_level()
     scales = cfg.scales()
 
-    parts = []
+    xy0s, resps, valids, octaves = [], [], [], []
+    raw_wins, blur_wins, iys, ixs = [], [], [], []
     for lvl in range(cfg.n_levels):
-        xy, resp, angle, desc, valid = _extract_level(
-            levels[lvl], blurred[lvl], budgets[lvl], cfg
+        det = fast.detect_cells(
+            levels[lvl], cfg.ini_th_fast, cfg.cell_size, budgets[lvl],
+            cfg.min_th_fast,
         )
-        xy0 = xy * scales[lvl]  # back to level-0 coords
-        octave = jnp.full(xy.shape[0], lvl, jnp.int32)
-        parts.append((xy0, resp, angle, octave, desc, valid))
+        xy0s.append(det["xy"] * scales[lvl])
+        resps.append(det["resp"])
+        valids.append(det["valid"])
+        octaves.append(jnp.full(budgets[lvl], lvl, jnp.int32))
+        iys.append(det["iy"])
+        ixs.append(det["ix"])
+        rw = patches.cell_windows(levels[lvl], cfg.cell_size)
+        bw = patches.cell_windows(blurred[lvl], cfg.cell_size)
+        raw_wins.append(patches.winner_patches(rw, det["cell_id"]))
+        blur_wins.append(patches.winner_patches(bw, det["cell_id"]))
 
-    xy = jnp.concatenate([p[0] for p in parts])
-    resp = jnp.concatenate([p[1] for p in parts])
-    angle = jnp.concatenate([p[2] for p in parts])
-    octave = jnp.concatenate([p[3] for p in parts])
-    desc = jnp.concatenate([p[4] for p in parts])
-    valid = jnp.concatenate([p[5] for p in parts])
-    return Features(xy, resp, angle, octave, desc, valid)
+    xy = jnp.concatenate(xy0s)
+    resp = jnp.concatenate(resps)
+    valid = jnp.concatenate(valids)
+    octave = jnp.concatenate(octaves)
+    iy = jnp.concatenate(iys)
+    ix = jnp.concatenate(ixs)
+    raw_win = jnp.concatenate(raw_wins)    # [N, S, S]
+    blur_win = jnp.concatenate(blur_wins)
+
+    raw_patch = patches.recenter(raw_win, iy, ix, RAW_PATCH)
+    blur_patch = patches.recenter(blur_win, iy, ix, BRIEF_PATCH)
+    angle = brief.orientation_from_patches(raw_patch)
+    desc = brief.brief_from_patches(blur_patch, angle)
+    return Features(xy, resp, angle, octave, desc, valid, raw_patch)
 
 
 @partial(jax.jit, static_argnames=("cfg",))

@@ -61,32 +61,38 @@ def detect_loop_candidates(
 
     Returns (rows [k], ok [k]).
     """
+    N = m.kf.capacity
     scores = vocab_mod.l1_scores(query_bow, db.bow)  # [N]
-    w = covis.covis_weights_single(m, query_row)
-    neighbor = (w >= min_covis_weight) & m.kf.valid
-    neighbor = neighbor.at[query_row].set(True)
+    # Connected keyframes of the query over the bounded candidate window
+    # (this runs once per keyframe — the full [N, F] scan was the map-scale
+    # compute cliff flagged in round 1).
+    cand_q, w_q = covis.candidate_covis_weights(m, query_row)
+    neighbor = jnp.zeros(N, bool).at[
+        jnp.where(w_q >= min_covis_weight, cand_q, N)
+    ].set(True, mode="drop")
+    neighbor &= m.kf.valid
+    neighbor_or_self = neighbor.at[query_row].set(True)
     # minScore over connected keyframes
-    neigh_scores = jnp.where(neighbor.at[query_row].set(False), scores, jnp.inf)
+    neigh_scores = jnp.where(neighbor, scores, jnp.inf)
     min_score = jnp.min(neigh_scores)
     min_score = jnp.where(jnp.isinf(min_score), 0.0, min_score)
 
-    eligible = db.valid & m.kf.valid & ~neighbor & (scores >= min_score)
+    eligible = db.valid & m.kf.valid & ~neighbor_or_self & (scores >= min_score)
 
-    # Covisibility-group accumulation: each candidate's score becomes the sum
-    # over its top-10 covisible keyframes that are also eligible.
-    W = covis.covis_matrix(m)  # [N, N] shared-point counts
-    covis_mask = (W >= min_covis_weight) & m.kf.valid[None, :]
-    covis_mask = covis_mask | jnp.eye(W.shape[0], dtype=bool)
-    acc = jnp.sum(
-        jnp.where(covis_mask & eligible[None, :], scores[None, :], 0.0), axis=1
-    )
-    acc = jnp.where(eligible, acc, -jnp.inf)
+    # Covisibility-group accumulation over the top raw-score candidates:
+    # each candidate's score becomes the sum over its covisible group
+    # (anchor-approximated, covis_groups_rows) of eligible member scores.
+    C0 = max(k, 16)
+    v0, r0 = jax.lax.top_k(jnp.where(eligible, scores, -jnp.inf), C0)
+    grp, gok = covis.covis_groups_rows(m, r0, n_group=10)
+    others = gok & eligible[grp] & (grp != r0[:, None])
+    acc = jnp.sum(jnp.where(others, scores[grp], 0.0), axis=1)
+    acc = acc + jnp.where(jnp.isfinite(v0), v0, 0.0)  # self always counts
+    acc = jnp.where(jnp.isfinite(v0), acc, -jnp.inf)
     best_acc = jnp.max(acc)
-    keep = eligible & (acc >= 0.75 * best_acc)
-
-    key = jnp.where(keep, scores, -jnp.inf)
-    vals, rows = jax.lax.top_k(key, k)
-    return rows, jnp.isfinite(vals)
+    keepv = jnp.where(acc >= 0.75 * best_acc, v0, -jnp.inf)
+    vals, ri = jax.lax.top_k(keepv, k)
+    return r0[ri], jnp.isfinite(vals)
 
 
 def detect_relocalization_candidates(

@@ -126,6 +126,7 @@ class CorbslamClient:
     # ------------------------------------------------------------------
     def shutdown(self):
         """Flush sync + stop background optimization (System::Shutdown)."""
+        self.tracker.flush()  # retire the in-flight pipelined frame
         if self.cache is not None:
             self.cache.uplink_step()
             self.cache.downlink_step()

@@ -203,6 +203,35 @@ class TestTwoClientFusion:
         clients = np.asarray(g.kf.client)[np.asarray(g.kf.valid)]
         assert set(clients.tolist()) == {1, 2}
 
+    def test_seam_duplicates_collapse(self, rig):
+        """Two clients mapping the same region merge into a global map whose
+        duplicate landmark count provably collapses (the server-side
+        SearchAndFuse of GlobalOptimize.cpp:406; round-1 gap)."""
+        transport, server, c1, c2 = rig
+        c1.uplink_step(); server.fuse_step()
+        n_before = int(np.asarray(server.gmap.mp.valid).sum())
+        c2.uplink_step()
+        n_sub2 = int(np.asarray(server.sub[2].map.mp.valid).sum())
+        server.fuse_step()
+        g = server.gmap
+        n_after = int(np.asarray(g.mp.valid).sum())
+        # Strictly fewer than the naive union: duplicates were merged.
+        assert n_after < n_before + n_sub2, (n_after, n_before, n_sub2)
+        assert server.stats["seam_fuses"] == 1
+        assert server.stats["essential_graph_runs"] == 1
+        # The surviving landmarks still cover both clients' private points.
+        clients = np.asarray(g.mp.client)[np.asarray(g.mp.valid)]
+        assert set(np.unique(clients).tolist()) == {1, 2}
+        # Duplicate pairs across the seam (same GT position from both
+        # clients) must be mostly gone: count client-2 survivors that sit
+        # on top of a client-1 landmark.
+        pos = np.asarray(g.mp.pos)
+        v = np.asarray(g.mp.valid)
+        p1 = pos[v & (np.asarray(g.mp.client) == 1)]
+        p2 = pos[v & (np.asarray(g.mp.client) == 2)]
+        dup = (np.linalg.norm(p2[:, None] - p1[None], axis=-1).min(1) < 0.05).sum()
+        assert dup < 30, dup  # started with 60 shared copies
+
     def test_broadcast_reaches_clients(self, rig):
         transport, server, c1, c2 = rig
         c1.uplink_step(); server.fuse_step()
@@ -221,13 +250,22 @@ class TestTwoClientFusion:
         assert c1.stats["foreign_kfs"] == 3
         assert c1.stats["foreign_mps"] > 0
 
-        # Client 1's frame == global frame: client 2's shared landmarks must
-        # land on top of client 1's copies (same GT positions).
+        # Client 1's frame == global frame: every foreign landmark must sit
+        # on a GT scene position — either a surviving shared point (most
+        # duplicates were collapsed by the server's cross-seam fuse) or one
+        # of client 2's private points, re-expressed in the global frame.
         shared_gt = make_points(np.random.default_rng(7), 60)
+        T2 = T2_world()
+        T2i = np.linalg.inv(T2)
+        own2_client = make_points(np.random.default_rng(2), 40, T2) + \
+            np.asarray([0, 0, 4], np.float32)
+        own2_gt = own2_client @ T2i[:3, :3].T + T2i[:3, 3]
+        expected = np.concatenate([shared_gt, own2_gt])
         pos = np.asarray(m1.mp.pos)
         fr = np.asarray(m1.mp.fixed) & np.asarray(m1.mp.valid)
         foreign_pos = pos[fr]
-        d = np.linalg.norm(foreign_pos[:, None, :] - shared_gt[None], axis=-1).min(axis=1)
+        d = np.linalg.norm(
+            foreign_pos[:, None, :] - expected[None], axis=-1).min(axis=1)
         assert np.median(d) < 0.05, np.median(d)
 
         # Client 2 receives client 1's entities expressed in ITS OWN frame.
