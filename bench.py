@@ -29,6 +29,81 @@ import numpy as np  # noqa: E402
 BASELINE_FPS = 10.0
 
 
+def bench_gba(cam, cfg):
+    """Global-BA LM iterations/sec on a full synthetic map (north star #3;
+    ref: GlobalOptimize.cpp:444 runs 10 LM iterations per loop event and
+    logs wall time to GBA.txt — no number is published, so the value is
+    recorded without a vs_baseline)."""
+    from corbslam_tpu.loop import gba as gba_mod
+    from corbslam_tpu.mapstate import mapstate as ms
+    from corbslam_tpu.optim import ba
+
+    cap = cfg.capacity
+    rng = np.random.default_rng(0)
+    N_used, P_used, obs_per_kf = 384, 49152, 512
+    m = ms.empty(cap)
+
+    # Poses along a gentle arc; landmarks in a band in front of them.
+    t = np.linspace(0, 60.0, N_used)
+    Tcw = np.tile(np.eye(4, dtype=np.float32), (cap.max_keyframes, 1, 1))
+    Tcw[:N_used, 2, 3] = -t  # camera advancing along +z
+    X = np.zeros((cap.max_map_points, 3), np.float32)
+    X[:P_used, 0] = rng.uniform(-8, 8, P_used)
+    X[:P_used, 1] = rng.uniform(-2, 2, P_used)
+    X[:P_used, 2] = rng.uniform(2, 80, P_used) + np.repeat(
+        np.linspace(0, 60.0, P_used // 64 + 1), 64)[:P_used]
+
+    # Observation table: each keyframe sees a sliding window of points.
+    F = cap.max_features
+    mp_idx = np.full((cap.max_keyframes, F), -1, np.int32)
+    fv = np.zeros((cap.max_keyframes, F), bool)
+    xy = np.zeros((cap.max_keyframes, F, 2), np.float32)
+    ur = np.full((cap.max_keyframes, F), -1.0, np.float32)
+    stride = max(1, (P_used - obs_per_kf) // max(N_used - 1, 1))
+    for k in range(N_used):
+        pts = (k * stride + np.arange(obs_per_kf)) % P_used
+        Xc = X[pts] - np.array([0, 0, -t[k]], np.float32)  # world->cam
+        z = np.maximum(Xc[:, 2], 0.5)
+        u = cam.fx * Xc[:, 0] / z + cam.cx + rng.normal(0, 0.5, obs_per_kf)
+        v = cam.fy * Xc[:, 1] / z + cam.cy + rng.normal(0, 0.5, obs_per_kf)
+        mp_idx[k, :obs_per_kf] = pts
+        fv[k, :obs_per_kf] = True
+        xy[k, :obs_per_kf, 0] = u
+        xy[k, :obs_per_kf, 1] = v
+        ur[k, :obs_per_kf] = u - cam.bf / z
+
+    kf = m.kf._replace(
+        Tcw=jnp.asarray(Tcw),
+        valid=jnp.asarray(np.arange(cap.max_keyframes) < N_used),
+        xy=jnp.asarray(xy), uright=jnp.asarray(ur),
+        fvalid=jnp.asarray(fv), mp_idx=jnp.asarray(mp_idx),
+    )
+    mp = m.mp._replace(
+        pos=jnp.asarray(X),
+        valid=jnp.asarray(np.arange(cap.max_map_points) < P_used),
+    )
+    m = m._replace(kf=kf, mp=mp, n_kf=jnp.int32(N_used), n_mp=jnp.int32(P_used))
+
+    prob = gba_mod.build_global_problem(m, cfg)
+    n_iters, cg_iters = 10, 20
+    res = ba.optimize(cam, prob, n_iters=n_iters, cg_iters=cg_iters,
+                      huber_iters=3)
+    jax.block_until_ready(res.Tcw)  # compile outside the timed window
+    t0 = time.time()
+    res = ba.optimize(cam, prob, n_iters=n_iters, cg_iters=cg_iters,
+                      huber_iters=3)
+    jax.block_until_ready(res.Tcw)
+    dt = time.time() - t0
+    n_obs = int(N_used * obs_per_kf)
+    return {
+        "gba_lm_iters_per_sec": round(n_iters / dt, 2),
+        "gba_wall_s_10iters": round(dt, 3),
+        "gba_n_keyframes": N_used,
+        "gba_n_points": P_used,
+        "gba_n_observations": n_obs,
+    }
+
+
 def main():
     from corbslam_tpu.config import KITTI_STEREO
     from corbslam_tpu.frontend.tracking import StereoTracker
@@ -73,6 +148,21 @@ def main():
     dt = time.time() - t0
 
     fps = n_meas / dt
+
+    # Side metrics (north stars beyond the flagship): GBA iterations/sec on
+    # a full synthetic map. Written to BENCH_EXTRA.json + stderr so stdout
+    # stays the single flagship JSON line the driver expects.
+    extra = {"kitti_stereo_tracking_fps_per_client": round(fps, 2)}
+    if not os.environ.get("BENCH_SKIP_GBA"):
+        try:
+            extra.update(bench_gba(cam, cfg))
+        except Exception as e:  # pragma: no cover - bench resilience
+            extra["gba_error"] = repr(e)
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_EXTRA.json"), "w") as f:
+        json.dump(extra, f, indent=1)
+    print(json.dumps(extra), file=sys.stderr)
+
     print(json.dumps({
         "metric": "kitti_stereo_tracking_fps_per_client",
         "value": round(fps, 2),

@@ -99,10 +99,8 @@ def main(argv=None):
     voc = None
     if not args.no_loop_closing:
         if args.vocab:
-            data = np.load(args.vocab)
-            voc = vocab_mod.Vocabulary(
-                jnp.asarray(data["word_bits"]), jnp.asarray(data["idf"])
-            )
+            voc = vocab_mod.load(args.vocab)
+            print(f"[run_client] loaded vocabulary ({voc.n_words} words)")
         else:
             from ..frontend import frame as frame_mod
 

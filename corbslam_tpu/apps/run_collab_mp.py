@@ -185,9 +185,14 @@ def run_client(args):
 
 
 # ---------------------------------------------------------------------------
-def _spawn(role, extra, env=None):
+def _spawn(role, extra, env=None, cpu: int = -1):
     cmd = [sys.executable, "-m", "corbslam_tpu.apps.run_collab_mp",
            "--role", role] + extra
+    if cpu >= 0:
+        # Pin to one core: on small hosts N JAX processes each spawn a
+        # full per-core thread pool and thrash; pinning makes the 1-client
+        # baseline and the N-client run use the same per-process resource.
+        cmd = ["taskset", "-c", str(cpu)] + cmd
     e = dict(os.environ)
     e.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.jax_cache"))
     if env:
@@ -195,7 +200,7 @@ def _spawn(role, extra, env=None):
     return subprocess.Popen(cmd, env=e)
 
 
-def _run_fleet(n_clients, frames, tmp, gba=False, tag=""):
+def _run_fleet(n_clients, frames, tmp, gba=False, tag="", pin=False):
     """Spawn 1 server + n clients; return (server_stats, [client_stats])."""
     portfile = os.path.join(tmp, f"port{tag}")
     stopfile = os.path.join(tmp, f"stop{tag}")
@@ -212,6 +217,7 @@ def _run_fleet(n_clients, frames, tmp, gba=False, tag=""):
         time.sleep(0.05)
     port = int(open(portfile).read())
 
+    ncpu = os.cpu_count() or 1
     procs, outs = [], []
     for k in range(n_clients):
         cout = os.path.join(tmp, f"client{tag}_{k + 1}.json")
@@ -219,7 +225,7 @@ def _run_fleet(n_clients, frames, tmp, gba=False, tag=""):
         procs.append(_spawn("client", [
             "--client-id", str(k + 1), "--port", str(port),
             "--frames", str(frames), "--vocab", vocab, "--out", cout,
-        ]))
+        ], cpu=(k % ncpu) if pin else -1))
     for p in procs:
         if p.wait() != 0:
             raise RuntimeError("client process failed")
@@ -251,7 +257,9 @@ def run_driver(args):
     np.savez(os.path.join(tmp, "vocab.npz"),
              word_bits=np.asarray(voc.word_bits), idf=np.asarray(voc.idf))
 
-    ss, cs = _run_fleet(args.clients, args.frames, tmp, gba=args.gba, tag="N")
+    pin = args.pin or (os.cpu_count() or 1) < args.clients + 1
+    ss, cs = _run_fleet(args.clients, args.frames, tmp, gba=args.gba,
+                        tag="N", pin=pin)
     agg_fps = sum(c["fps"] for c in cs)
     print(f"[driver] N={args.clients}: fusions={ss['fusions']} "
           f"global={ss['global_kfs']}KF/{ss['global_mps']}MP "
@@ -261,16 +269,27 @@ def run_driver(args):
               f"pushed {c['kfs_pushed']} KFs, foreign {c['foreign_kfs']}, "
               f"transm={c['has_transm']}")
 
+    ncpu = os.cpu_count() or 1
     result = {"n_clients": args.clients, "server": ss, "clients": cs,
-              "aggregate_fps": agg_fps}
+              "aggregate_fps": agg_fps, "host_cpus": ncpu, "pinned": pin}
     if args.scaling:
-        s1, c1 = _run_fleet(1, args.frames, tmp, gba=args.gba, tag="1")
+        s1, c1 = _run_fleet(1, args.frames, tmp, gba=args.gba, tag="1",
+                            pin=pin)
         base = c1[0]["fps"]
+        # Raw per-client efficiency assumes the host has >= N client-sized
+        # compute slots. When it does not (this container: 2 cores), the
+        # hardware-normalized form divides by the achievable parallelism
+        # min(N, cores) instead of N: it isolates the overhead added by the
+        # collaboration layer (transport, server work, broadcast) from plain
+        # core oversubscription. On >= N-core hosts the two coincide.
         eff = (agg_fps / args.clients) / base if base > 0 else 0.0
+        eff_hw = (agg_fps / min(args.clients, ncpu)) / base if base > 0 else 0.0
         result["baseline_fps_1client"] = base
         result["scaling_efficiency"] = eff
-        print(f"[driver] 1-client baseline {base:.2f} fps -> "
-              f"scaling efficiency {eff:.3f} at N={args.clients}")
+        result["scaling_efficiency_hw_normalized"] = eff_hw
+        print(f"[driver] 1-client baseline {base:.2f} fps -> raw efficiency "
+              f"{eff:.3f}, hw-normalized {eff_hw:.3f} at N={args.clients} "
+              f"on {ncpu} cores")
     if args.json_out:
         with open(args.json_out, "w") as f:
             json.dump(result, f, indent=1)
@@ -287,6 +306,9 @@ def main(argv=None):
     ap.add_argument("--gba", action="store_true")
     ap.add_argument("--scaling", action="store_true",
                     help="also run 1-client baseline and report efficiency")
+    ap.add_argument("--pin", action="store_true",
+                    help="taskset-pin each client to one core (auto when "
+                         "cores < clients+1)")
     ap.add_argument("--json-out", default="")
     ap.add_argument("--workdir", default="")
     # server/client plumbing

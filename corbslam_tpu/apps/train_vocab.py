@@ -1,0 +1,128 @@
+"""Offline vocabulary training: the ORBvoc.txt-equivalent artifact.
+
+The reference ships a ~1M-word pretrained DBoW2 vocabulary loaded at startup
+(corbslam_client/Thirdparty/DBoW2/DBoW2/TemplatedVocabulary.h:1338
+loadFromTextFile; Examples pass Vocabulary/ORBvoc.txt as argv[1]). This tool
+produces the reusable equivalent for the TPU engine: a flat W-word
+k-majority vocabulary (place/vocab.py) trained from many rendered views of
+varied synthetic worlds — or from a real image directory — saved as npz and
+loaded via run_client/run_collab `--vocab`.
+
+Usage:
+  python -m corbslam_tpu.apps.train_vocab --out voc32k.npz --n-words 32768
+  python -m corbslam_tpu.apps.train_vocab --images /data/seq/image_0 --out voc.npz
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+
+def collect_synthetic_descriptors(n_worlds: int, frames_per_world: int,
+                                  seed: int = 0):
+    """Render varied worlds (planar + structured) from many viewpoints and
+    pool the valid ORB descriptors."""
+    import jax.numpy as jnp
+
+    from ..config import KITTI_STEREO
+    from ..frontend import frame as frame_mod
+    from ..geometry import camera as cam_mod
+    from ..geometry import se3
+    from ..io import synthetic
+
+    cam = cam_mod.Intrinsics.create(
+        fx=718.856, fy=718.856, cx=607.1928, cy=185.2157, bf=386.1448,
+        width=1241, height=376,
+    )
+    cfg = KITTI_STEREO
+    rng = np.random.default_rng(seed)
+    descs = []
+    for w in range(n_worlds):
+        world = synthetic.PlanarWorld(
+            cam, texture_size=4096,
+            plane_dist=float(rng.uniform(6.0, 20.0)),
+            texture_scale=float(rng.uniform(30.0, 90.0)),
+            seed=seed * 101 + w,
+        )
+        for i in range(frames_per_world):
+            xi = np.zeros(6, np.float32)
+            xi[:3] = rng.uniform(-1.5, 1.5, 3)
+            xi[3:] = rng.uniform(-0.08, 0.08, 3)
+            img = world.render(se3.exp(jnp.asarray(xi)))
+            f = frame_mod.build_frame_mono(img, cam, cfg.orb)
+            d = np.asarray(f.desc)[np.asarray(f.fvalid)]
+            descs.append(d)
+            print(f"  world {w} frame {i}: {d.shape[0]} descriptors",
+                  flush=True)
+    return np.concatenate(descs, 0)
+
+
+def collect_image_dir_descriptors(path: str, limit: int = 0):
+    import jax.numpy as jnp
+
+    from ..config import KITTI_STEREO
+    from ..frontend import frame as frame_mod
+    from ..geometry import camera as cam_mod
+    from ..io import datasets
+
+    names = sorted(os.listdir(path))
+    if limit:
+        names = names[:limit]
+    descs = []
+    cam = None
+    for n in names:
+        img = datasets._imread_gray(os.path.join(path, n))
+        if cam is None:
+            h, w = img.shape
+            cam = cam_mod.Intrinsics.create(
+                fx=0.9 * w, fy=0.9 * w, cx=w / 2, cy=h / 2,
+                width=w, height=h,
+            )
+        f = frame_mod.build_frame_mono(jnp.asarray(img), cam, KITTI_STEREO.orb)
+        descs.append(np.asarray(f.desc)[np.asarray(f.fvalid)])
+    return np.concatenate(descs, 0)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--out", required=True, help="output npz path")
+    ap.add_argument("--n-words", type=int, default=32768)
+    ap.add_argument("--n-iters", type=int, default=8)
+    ap.add_argument("--images", default=None,
+                    help="directory of images (else synthetic worlds)")
+    ap.add_argument("--n-worlds", type=int, default=6)
+    ap.add_argument("--frames-per-world", type=int, default=24)
+    ap.add_argument("--limit", type=int, default=0)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+    from ..place import vocab as vocab_mod
+
+    t0 = time.time()
+    if args.images:
+        desc = collect_image_dir_descriptors(args.images, args.limit)
+    else:
+        desc = collect_synthetic_descriptors(
+            args.n_worlds, args.frames_per_world, args.seed)
+    print(f"corpus: {desc.shape[0]} descriptors ({time.time()-t0:.1f}s)",
+          flush=True)
+
+    t0 = time.time()
+    voc = vocab_mod.train_chunked(
+        desc, n_words=args.n_words, n_iters=args.n_iters, seed=args.seed)
+    import jax
+
+    jax.block_until_ready(voc.word_bits)
+    print(f"trained {voc.n_words}-word vocabulary ({time.time()-t0:.1f}s)",
+          flush=True)
+    vocab_mod.save(voc, args.out)
+    print(f"saved -> {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -490,7 +490,8 @@ class StereoTracker:
         self.map = local_mapping.fuse_into_kf(self.cam, self.map, kf_row, self.cfg)
         if self.stats.n_keyframes % 2 == 0:
             self.map = local_mapping.cull_map_points(self.map, kf_row, self.cfg)
-            self.map = local_mapping.refresh_point_geometry(self.map, self.cfg)
+            self.map = local_mapping.refresh_point_geometry(
+                self.map, kf_row, self.cfg)
         if self.stats.n_keyframes >= 3:
             self.map = local_mapping.local_ba(self.cam, self.map, kf_row, self.cfg)
         if self.stats.n_keyframes % 3 == 0 and self.stats.n_keyframes > 5:
@@ -498,6 +499,10 @@ class StereoTracker:
             self.map, kill = local_mapping.cull_keyframes(self.map, kf_row, self.cfg)
             if self.loop_closer is not None:
                 self.loop_closer.db = self.loop_closer.db.remove(kill)
+        if self.stats.n_keyframes % 6 == 0 and self.stats.n_keyframes > 5:
+            # Episodic full-map hygiene: detach stragglers the bounded
+            # cull/fuse windows may have missed (see local_mapping notes).
+            self.map = local_mapping.sweep_detached(self.map)
         if self.loop_closer is not None:
             self.map = self.loop_closer.process_keyframe(self.map, kf_row)
 

@@ -74,20 +74,27 @@ def kitti_camera(seq: int = 0) -> cam_mod.Intrinsics:
 
 
 def tum_camera(freiburg: int = 1) -> cam_mod.Intrinsics:
-    """TUM1/2/3.yaml values; depth factor is 1/5000 on disk."""
+    """TUM1/2/3.yaml values (intrinsics + radtan distortion, applied by
+    the keypoint-undistortion path in frontend/frame.py just as the
+    reference does via Frame::UndistortKeyPoints, Frame.cc:408); depth
+    factor is 1/5000 on disk."""
     vals = {
-        1: (517.306408, 516.469215, 318.643040, 255.313989),
-        2: (520.908620, 521.007327, 325.141442, 249.701764),
-        3: (535.4, 539.2, 320.1, 247.6),
+        1: (517.306408, 516.469215, 318.643040, 255.313989,
+            (0.262383, -0.953104, -0.005358, 0.002628, 1.163314)),
+        2: (520.908620, 521.007327, 325.141442, 249.701764,
+            (0.231222, -0.784899, -0.003257, -0.000105, 0.917205)),
+        3: (535.4, 539.2, 320.1, 247.6, (0.0, 0.0, 0.0, 0.0, 0.0)),
     }[freiburg]
-    fx, fy, cx, cy = vals
+    fx, fy, cx, cy, dist = vals
     return cam_mod.Intrinsics.create(
-        fx=fx, fy=fy, cx=cx, cy=cy, bf=fx * 0.08, width=640, height=480
+        fx=fx, fy=fy, cx=cx, cy=cy, bf=fx * 0.08, dist=dist,
+        width=640, height=480,
     )
 
 
 def euroc_camera() -> cam_mod.Intrinsics:
-    """EuRoC.yaml (rectified cam0)."""
+    """EuRoC.yaml rectified pinhole (valid for images remapped through
+    geometry.rectify.euroc_rectify_maps — load_euroc_stereo does this)."""
     return cam_mod.Intrinsics.create(
         fx=435.2046959714599, fy=435.2046959714599,
         cx=367.4517211914062, cy=252.2008514404297,
@@ -104,9 +111,14 @@ class StereoFrame:
     timestamp: float
     left_path: str
     right_path: str
+    rectify: Optional[tuple] = None  # (left RectifyMap, right RectifyMap)
 
     def load(self):
-        return _imread_gray(self.left_path), _imread_gray(self.right_path)
+        l, r = _imread_gray(self.left_path), _imread_gray(self.right_path)
+        if self.rectify is not None:
+            l = self.rectify[0].remap(l)
+            r = self.rectify[1].remap(r)
+        return l, r
 
 
 @dataclass
@@ -168,8 +180,16 @@ def load_tum_rgbd(root: str, max_dt: float = 0.02) -> List[RgbdFrame]:
     return out
 
 
-def load_euroc_stereo(root: str) -> List[StereoFrame]:
-    """mav0/cam{0,1}/data + data.csv (stereo_euroc.cc LoadImages)."""
+def load_euroc_stereo(root: str, rectify: bool = True) -> List[StereoFrame]:
+    """mav0/cam{0,1}/data + data.csv (stereo_euroc.cc LoadImages).
+
+    EuRoC ships RAW distorted, unrectified images; by default every frame
+    is remapped onto the rectified pinhole rig of `euroc_camera()` at load
+    time — the reference's initUndistortRectifyMap + remap per frame
+    (stereo_euroc.cc)."""
+    from ..geometry import rectify as rect_mod
+
+    maps = rect_mod.euroc_rectify_maps() if rectify else None
     cam0 = os.path.join(root, "mav0", "cam0")
     cam1 = os.path.join(root, "mav0", "cam1")
     out = []
@@ -181,7 +201,9 @@ def load_euroc_stereo(root: str) -> List[StereoFrame]:
             lp = os.path.join(cam0, "data", name)
             rp = os.path.join(cam1, "data", name)
             if os.path.exists(lp) and os.path.exists(rp):
-                out.append(StereoFrame(float(ts_ns) * 1e-9, lp, rp))
+                out.append(
+                    StereoFrame(float(ts_ns) * 1e-9, lp, rp, rectify=maps)
+                )
     return out
 
 

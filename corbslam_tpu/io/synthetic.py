@@ -150,3 +150,127 @@ class PlanarWorld:
         # depth along camera z = lam * (R^T dirs)_z ... by construction
         # p_cam = lam * rays (camera frame), so z = lam * rays_z = lam.
         return jnp.where(lam > 0, lam * rays[2], 0.0)
+
+
+class MultiPlaneWorld:
+    """Non-planar 3-D validation world: N textured planes composited by
+    z-buffer, with optional per-frame photometric noise.
+
+    Addresses the planar-world degeneracy (a single plane is degenerate for
+    F-matrix init and trivially texture-rich): real 3-D structure, depth
+    discontinuities, and a room layout that supports closed-loop
+    trajectories. Plane i is n_i . p = d_i with an orthonormal in-plane
+    chart (u_i, v_i) mapping world points to its own texture.
+    """
+
+    def __init__(self, cam: cam_mod.Intrinsics, planes, texture_size: int = 2048,
+                 texture_scale: float = 50.0, noise_std: float = 0.0,
+                 seed: int = 0):
+        """planes: list of (normal [3], offset d, chart_origin [3])."""
+        self.cam = cam
+        self.texture_scale = float(texture_scale)
+        self.noise_std = float(noise_std)
+        self.tex_size = texture_size
+        n_list, d_list, o_list, u_list, v_list, tex = [], [], [], [], [], []
+        for i, (n, d, o) in enumerate(planes):
+            n = np.asarray(n, np.float32)
+            n = n / np.linalg.norm(n)
+            a = np.array([1.0, 0.0, 0.0], np.float32)
+            if abs(n[0]) > 0.9:
+                a = np.array([0.0, 1.0, 0.0], np.float32)
+            u = np.cross(n, a); u /= np.linalg.norm(u)
+            v = np.cross(n, u)
+            n_list.append(n); d_list.append(float(d))
+            o_list.append(np.asarray(o, np.float32))
+            u_list.append(u); v_list.append(v)
+            tex.append(random_texture(texture_size, texture_size,
+                                      seed * 131 + i))
+        self.n = jnp.asarray(np.stack(n_list))        # [P, 3]
+        self.d = jnp.asarray(np.asarray(d_list))      # [P]
+        self.o = jnp.asarray(np.stack(o_list))        # [P, 3]
+        self.u = jnp.asarray(np.stack(u_list))        # [P, 3]
+        self.v = jnp.asarray(np.stack(v_list))        # [P, 3]
+        self.tex = jnp.asarray(np.stack(tex))         # [P, S, S]
+        self._noise_seed = seed
+
+    @staticmethod
+    def room(cam: cam_mod.Intrinsics, half: float = 14.0, height: float = 3.0,
+             noise_std: float = 0.0, seed: int = 0,
+             texture_scale: float = 60.0) -> "MultiPlaneWorld":
+        """A closed box room (4 walls + floor + ceiling): loop trajectories
+        that circle inside it re-observe the start view — the loop-closure
+        validation scene."""
+        h = half
+        planes = [
+            ([0.0, 0.0, -1.0], -h, [0.0, 0.0, h]),    # front wall  z=+h
+            ([0.0, 0.0, 1.0], -h, [0.0, 0.0, -h]),    # back wall   z=-h
+            ([1.0, 0.0, 0.0], -h, [-h, 0.0, 0.0]),    # left wall   x=-h
+            ([-1.0, 0.0, 0.0], -h, [h, 0.0, 0.0]),    # right wall  x=+h
+            ([0.0, -1.0, 0.0], -height, [0.0, height, 0.0]),   # floor y=+height
+            ([0.0, 1.0, 0.0], -height, [0.0, -height, 0.0]),   # ceiling
+        ]
+        return MultiPlaneWorld(cam, planes, noise_std=noise_std, seed=seed,
+                               texture_scale=texture_scale)
+
+    def _render_depth(self, Tcw: jnp.ndarray):
+        cam = self.cam
+        Twc = se3.inverse(Tcw)
+        R = se3.rotation(Twc)
+        t = se3.translation(Twc)
+        Kinv = jnp.linalg.inv(cam.K)
+        h, w = cam.height, cam.width
+        yy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+        xx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+        ones = jnp.ones_like(xx)
+        rays = jnp.einsum("ij,jhw->ihw", Kinv, jnp.stack([xx, yy, ones]))
+        dirs = jnp.einsum("ij,jhw->ihw", R, rays)  # [3, H, W] world dirs
+        # Per-plane ray parameter: lam_i = (d_i - n_i.t) / (n_i.dir).
+        ndotdir = jnp.einsum("pi,ihw->phw", self.n, dirs)
+        ndott = self.n @ t  # [P]
+        lam = (self.d - ndott)[:, None, None] / jnp.where(
+            jnp.abs(ndotdir) < 1e-6, 1e-6, ndotdir)
+        lam = jnp.where(lam > 0.05, lam, jnp.inf)  # behind-camera cull
+        best = jnp.argmin(lam, axis=0)  # [H, W] winning plane (z-buffer)
+        lam_b = jnp.min(lam, axis=0)
+        hit = jnp.isfinite(lam_b)
+        lam_b = jnp.where(hit, lam_b, 0.0)
+        p = t[:, None, None] + lam_b[None] * dirs  # [3, H, W] world point
+        # Per-plane texture coords, then select the winning plane's sample.
+        s = self.texture_scale
+        c = self.tex_size / 2.0
+        rel = p[None] - self.o[:, :, None, None]   # [P, 3, H, W]
+        tx = jnp.einsum("pi,pihw->phw", self.u, rel) * s + c
+        ty = jnp.einsum("pi,pihw->phw", self.v, rel) * s + c
+        samp = jax.vmap(bilinear_sample)(self.tex, ty, tx)  # [P, H, W]
+        one_hot = jax.nn.one_hot(best, self.n.shape[0], axis=0)
+        img = jnp.sum(samp * one_hot, axis=0)
+        img = jnp.where(hit, img, 128.0)
+        depth = jnp.where(hit, lam_b * rays[2], 0.0)
+        return img, depth
+
+    def _add_noise(self, img: jnp.ndarray, frame_key) -> jnp.ndarray:
+        if self.noise_std <= 0.0 or frame_key is None:
+            return img
+        noise = jax.random.normal(frame_key, img.shape) * self.noise_std
+        return jnp.clip(img + noise, 0.0, 255.0)
+
+    def render(self, Tcw: jnp.ndarray, frame: int = 0) -> jnp.ndarray:
+        img, _ = self._render_depth(Tcw)
+        key = (jax.random.PRNGKey(self._noise_seed * 977 + frame * 2)
+               if self.noise_std > 0 else None)
+        return self._add_noise(img, key)
+
+    def render_stereo(self, Tcw: jnp.ndarray, frame: int = 0):
+        b = self.cam.baseline
+        T_rl = se3.from_Rt(jnp.eye(3), jnp.array([-b, 0.0, 0.0]))
+        l, _ = self._render_depth(Tcw)
+        r, _ = self._render_depth(se3.compose(T_rl, Tcw))
+        if self.noise_std > 0:
+            k = jax.random.PRNGKey(self._noise_seed * 977 + frame * 2)
+            kl, kr = jax.random.split(k)
+            l, r = self._add_noise(l, kl), self._add_noise(r, kr)
+        return l, r
+
+    def depth(self, Tcw: jnp.ndarray) -> jnp.ndarray:
+        _, d = self._render_depth(Tcw)
+        return d

@@ -407,7 +407,7 @@ def fuse_loop_points(
     pmask = covis.local_map_mask(m, nb_rows, nb_ok)
     rows, rows_ok = covis.compact_indices(pmask, m.kf.n_features * 2)
     return local_mapping.fuse_rows_into_kf(
-        cam, m, kf_q, rows, rows_ok, cfg, radius=4.0
+        cam, m, kf_q, rows, rows_ok, cfg, radius=4.0, full_relabel=True
     )
 
 

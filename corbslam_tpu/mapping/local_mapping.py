@@ -23,21 +23,68 @@ from ..optim import ba
 NO_MP = ms.NO_MP
 
 
+KF_DETACH_WINDOW = 16  # trailing keyframe rows scanned by the bounded passes
+
+
 @partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
 def cull_map_points(m: ms.MapState, current_kf_row, cfg: SlamConfig) -> ms.MapState:
-    """MapPointCulling (ref: LocalMapping.cc:161): kill points whose
-    found/visible ratio is poor, or that gathered too few observations
-    within 2 keyframes of creation."""
-    obs = ms.observation_counts(m)
-    ratio = m.mp.n_found.astype(jnp.float32) / jnp.maximum(
-        m.mp.n_visible.astype(jnp.float32), 1.0
+    """MapPointCulling (ref: LocalMapping.cc:161): kill RECENTLY CREATED
+    points whose found/visible ratio is poor, or that gathered too few
+    observations within 2-4 keyframes of creation.
+
+    Bounded exactly like the reference: LocalMapping.cc iterates only
+    `mlpRecentAddedMapPoints`. Allocation is a monotone cursor, so the
+    recent points are a trailing row window [n_mp - R, n_mp); their
+    observations can only live in recently inserted keyframes, so the
+    observation count scans a trailing keyframe window instead of the full
+    [N, F] table (which cost ~115 ms on-chip at default capacities)."""
+    F = m.kf.n_features
+    M = m.mp.capacity
+    R = min(M, 8 * F)
+    KW = min(m.kf.capacity, KF_DETACH_WINDOW)
+
+    base = jnp.maximum(m.n_mp - R, 0)
+    rows = base + jnp.arange(R, dtype=jnp.int32)
+    rok = rows < m.n_mp
+
+    kbase = jnp.clip(m.n_kf - KW, 0, m.kf.capacity - KW)
+    idx = jax.lax.dynamic_slice_in_dim(m.kf.mp_idx, kbase, KW, 0)   # [KW, F]
+    fv = jax.lax.dynamic_slice_in_dim(m.kf.fvalid, kbase, KW, 0)
+    kv = jax.lax.dynamic_slice_in_dim(m.kf.valid, kbase, KW, 0)
+    contrib = (idx >= 0) & fv & kv[:, None]
+    rel = jnp.where(contrib, idx - base, -1).reshape(-1)
+    obs = jnp.zeros(R, jnp.int32).at[rel].add(1, mode="drop")
+
+    ratio = m.mp.n_found[rows].astype(jnp.float32) / jnp.maximum(
+        m.mp.n_visible[rows].astype(jnp.float32), 1.0
     )
-    age = current_kf_row - m.mp.first_kf  # keyframe rows since creation
+    age = current_kf_row - m.mp.first_kf[rows]  # keyframe rows since creation
     min_obs = 3  # stereo/RGB-D cnThObs (LocalMapping.cc:166)
     bad_ratio = ratio < cfg.mapping.recent_point_min_found_ratio
     young_underobserved = (age >= 2) & (age <= 4) & (obs < min_obs)
-    kill = m.mp.valid & ~m.mp.fixed & (bad_ratio | young_underobserved)
-    return ms.cull_map_points(m, kill)
+    killr = (rok & m.mp.valid[rows] & ~m.mp.fixed[rows]
+             & (bad_ratio | young_underobserved))
+    kill = jnp.zeros(M, bool).at[rows].set(killr)
+
+    mp = m.mp._replace(valid=m.mp.valid & ~kill)
+    # Detach observations within the same trailing keyframe window (older
+    # keyframes cannot observe these young points except via rare loop-seam
+    # fusion; those stragglers are swept by sweep_detached below).
+    is_killed = jnp.where(idx >= 0, kill[jnp.clip(idx, 0)], False)
+    new_idx = jnp.where(is_killed, ms.NO_MP, idx)
+    kf = m.kf._replace(mp_idx=jax.lax.dynamic_update_slice_in_dim(
+        m.kf.mp_idx, new_idx, kbase, 0))
+    return m._replace(kf=kf, mp=mp)
+
+
+@jax.jit
+def sweep_detached(m: ms.MapState) -> ms.MapState:
+    """Full-map hygiene pass: detach any observation pointing at an invalid
+    map point (stragglers the bounded detach windows can miss). One [N, F]
+    gather; run episodically, not per keyframe."""
+    idx = m.kf.mp_idx
+    stale = jnp.where(idx >= 0, ~m.mp.valid[jnp.clip(idx, 0)], False)
+    return m._replace(kf=m.kf._replace(mp_idx=jnp.where(stale, ms.NO_MP, idx)))
 
 
 @partial(jax.jit, static_argnames=("cam", "cfg"), donate_argnums=(1,))
@@ -74,6 +121,7 @@ def fuse_rows_into_kf(
     rows_ok: jnp.ndarray,
     cfg: SlamConfig,
     radius: float = 3.0,
+    full_relabel: bool = False,
 ) -> ms.MapState:
     """Core of `ORBmatcher::Fuse` for a given candidate point set: project
     `rows` into keyframe `kf_row`, bind hits on unbound features, merge
@@ -125,9 +173,25 @@ def fuse_rows_into_kf(
         n_visible=m.mp.n_visible + add_vis,
         n_found=m.mp.n_found + add_fnd,
     )
-    # Apply relabel + detach killed points across the whole observation table.
+    # Apply relabel + detach killed twins. The newer twin of every duplicate
+    # pair is a recently spawned point, so its observations live in the
+    # trailing keyframe window — relabel there instead of gathering the full
+    # [N, F] table (~4M-element gather at default capacities); any straggler
+    # reference (rare: loop-seam fusion into old keyframes) is cleaned by
+    # sweep_detached's episodic pass and masked by mp.valid meanwhile.
     all_idx = m.kf.mp_idx.at[kf_row].set(new_idx)
-    relabeled = jnp.where(all_idx >= 0, relabel[jnp.clip(all_idx, 0)], NO_MP)
+    if full_relabel:
+        # Loop-seam fusion (SearchAndFuse) merges points observed across the
+        # whole map — relabel the full table.
+        relabeled = jnp.where(all_idx >= 0, relabel[jnp.clip(all_idx, 0)], NO_MP)
+    else:
+        KW = min(m.kf.capacity, KF_DETACH_WINDOW)
+        kbase = jnp.clip(
+            jnp.minimum(m.n_kf - KW, kf_row), 0, m.kf.capacity - KW)
+        win = jax.lax.dynamic_slice_in_dim(all_idx, kbase, KW, 0)
+        win_new = jnp.where(win >= 0, relabel[jnp.clip(win, 0)], NO_MP)
+        relabeled = jax.lax.dynamic_update_slice_in_dim(
+            all_idx, win_new, kbase, 0)
     return m._replace(kf=m.kf._replace(mp_idx=relabeled), mp=mp)
 
 
@@ -263,8 +327,55 @@ def local_ba(
 
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
-def refresh_point_geometry(m: ms.MapState, cfg: SlamConfig) -> ms.MapState:
-    return ms.update_point_geometry(m)
+def refresh_point_geometry(m: ms.MapState, kf_row, cfg: SlamConfig) -> ms.MapState:
+    """Recompute normals + representative descriptors for the points the
+    current keyframe's covisible window observes — the bounded equivalent of
+    per-point `MapPoint::UpdateNormalAndDepth` / ComputeDistinctiveDescriptors
+    (ref: MapPoint.cc:~320,~400), which the reference runs only for points
+    TOUCHED by a new keyframe, never map-wide. The previous whole-map
+    segment-mean cost ~190 ms on-chip at default capacities; this windowed
+    pass is a [W, F] scan."""
+    M = m.mp.capacity
+    F = m.kf.n_features
+    wins, wok = covis.top_covisible_of(
+        m, kf_row, cfg.capacity.local_window_kfs, self_weight=2 ** 30)
+
+    cam_centers = -jnp.einsum(
+        "nji,nj->ni", m.kf.Tcw[wins, :3, :3], m.kf.Tcw[wins, :3, 3]
+    )  # [W, 3] camera centers (Ow = -R^T t)
+    idx = m.kf.mp_idx[wins]                                 # [W, F]
+    contrib = (idx >= 0) & m.kf.fvalid[wins] & m.kf.valid[wins][:, None]
+    contrib &= wok[:, None]
+    flat_idx = jnp.where(contrib, idx, 0).reshape(-1)
+    w = contrib.reshape(-1).astype(jnp.float32)
+
+    pos_per_obs = m.mp.pos[flat_idx]                        # [W*F, 3]
+    ctr_per_obs = jnp.repeat(cam_centers, F, axis=0)
+    d = pos_per_obs - ctr_per_obs
+    d = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-9)
+    normal_sum = jax.ops.segment_sum(d * w[:, None], flat_idx, M)
+    counts = jax.ops.segment_sum(w, flat_idx, M)
+    normal = normal_sum / jnp.maximum(counts, 1.0)[:, None]
+    normal = normal / jnp.maximum(
+        jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-9)
+    has_obs = counts > 0
+
+    # Representative descriptor from the NEWEST window observation — the
+    # cheap stand-in for the Hamming medoid; keyframe rows are allocated in
+    # time order, so the key ranks by recency.
+    key = jnp.where(
+        contrib,
+        wins[:, None] * F + jnp.arange(F, dtype=jnp.int32)[None, :],
+        -1,
+    ).reshape(-1)
+    newest = jax.ops.segment_max(key, flat_idx, M)
+    newest = jnp.where(has_obs, jnp.maximum(newest, 0), 0)
+    new_desc = m.kf.desc.reshape(-1, 32)[newest]
+    mp = m.mp._replace(
+        normal=jnp.where(has_obs[:, None], normal, m.mp.normal),
+        desc=jnp.where(has_obs[:, None], new_desc, m.mp.desc),
+    )
+    return m._replace(mp=mp)
 
 
 @partial(jax.jit, static_argnames=("cfg", "window"))

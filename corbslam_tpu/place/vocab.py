@@ -90,6 +90,87 @@ def train(
     return Vocabulary(word_bits=words, idf=idf)
 
 
+def save(voc: Vocabulary, path: str) -> None:
+    """Persist a trained vocabulary (the reusable-artifact equivalent of
+    the reference's ORBvoc.txt, TemplatedVocabulary.h:1338 loadFromTextFile
+    — npz of packed bit centers + idf instead of a 140 MB text tree)."""
+    import numpy as np
+
+    np.savez_compressed(
+        path,
+        word_bits_packed=np.packbits(
+            np.asarray(voc.word_bits, np.uint8), axis=1
+        ),
+        idf=np.asarray(voc.idf, np.float32),
+    )
+
+
+def load(path: str) -> Vocabulary:
+    import numpy as np
+
+    z = np.load(path)
+    bits = np.unpackbits(z["word_bits_packed"], axis=1)[:, :256]
+    return Vocabulary(
+        word_bits=jnp.asarray(bits, jnp.int8),
+        idf=jnp.asarray(z["idf"], jnp.float32),
+    )
+
+
+def train_chunked(
+    descriptors,  # [N, 32] uint8 packed (numpy ok)
+    n_words: int = 32768,
+    n_iters: int = 8,
+    seed: int = 0,
+    chunk: int = 65536,
+) -> Vocabulary:
+    """k-majority over a corpus too large for one resident [N, W] distance
+    matrix: per-iteration streaming over descriptor chunks, accumulating
+    per-word bit counts with segment_sum. Exact same fixed-point as
+    `train` (assignment is still a flat argmin over ALL words — the MXU
+    eats the [chunk, 256] x [256, W] matmul), just blocked over N."""
+    import numpy as np
+
+    desc = np.asarray(descriptors)
+    n = desc.shape[0]
+    pad = (-n) % chunk
+    if pad:
+        desc = np.concatenate([desc, np.zeros((pad, 32), np.uint8)], 0)
+    weight_np = np.concatenate(
+        [np.ones(n, np.float32), np.zeros(pad, np.float32)]
+    )
+    bits_all = D.unpack_bits(jnp.asarray(desc))
+    key = jax.random.PRNGKey(seed)
+    init_idx = jax.random.choice(key, n, (n_words,), replace=n < n_words)
+    words = bits_all[init_idx]
+
+    @partial(jax.jit, donate_argnums=(1, 2))
+    def accum(words, ones, counts, bits_c, w_c):
+        a = _assign(bits_c, words)
+        ones = ones + jax.ops.segment_sum(
+            bits_c.astype(jnp.int32) * w_c[:, None].astype(jnp.int32),
+            a, n_words)
+        counts = counts + jax.ops.segment_sum(
+            w_c.astype(jnp.int32), a, n_words)
+        return ones, counts
+
+    n_chunks = bits_all.shape[0] // chunk
+    bits_chunks = bits_all.reshape(n_chunks, chunk, 256)
+    w_chunks = jnp.asarray(weight_np).reshape(n_chunks, chunk)
+    counts = None
+    for _ in range(n_iters):
+        ones = jnp.zeros((n_words, 256), jnp.int32)
+        counts = jnp.zeros((n_words,), jnp.int32)
+        for c in range(n_chunks):
+            ones, counts = accum(words, ones, counts, bits_chunks[c], w_chunks[c])
+        maj = (2 * ones > counts[:, None]).astype(jnp.int8)
+        words = jnp.where((counts > 0)[:, None], maj, words)
+    n_total = jnp.maximum(jnp.sum(counts), 1)
+    idf = jnp.log(
+        n_total.astype(jnp.float32) / jnp.maximum(counts.astype(jnp.float32), 1.0)
+    )
+    return Vocabulary(word_bits=words, idf=idf)
+
+
 def transform(
     voc: Vocabulary,
     desc: jnp.ndarray,   # [F, 32] packed

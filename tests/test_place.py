@@ -90,3 +90,60 @@ class TestDatabase:
         rows, ok = np.asarray(rows), np.asarray(ok)
         assert ok[0]
         assert rows[0] == 3
+
+
+class TestVocabToolchain:
+    """Offline-train/save/load path (apps/train_vocab.py; the reusable
+    ORBvoc-equivalent artifact, TemplatedVocabulary.h:1338)."""
+
+    def test_save_load_roundtrip(self, voc, tmp_path):
+        p = str(tmp_path / "voc.npz")
+        V.save(voc, p)
+        voc2 = V.load(p)
+        np.testing.assert_array_equal(
+            np.asarray(voc.word_bits), np.asarray(voc2.word_bits))
+        np.testing.assert_allclose(
+            np.asarray(voc.idf), np.asarray(voc2.idf), rtol=1e-6)
+
+    def test_train_chunked_matches_train_quality(self, rng):
+        """Chunked streaming trainer converges to a vocabulary of the same
+        retrieval quality as the resident trainer on held-out views."""
+        centers = rng.integers(0, 256, size=(32, 32), dtype=np.uint8)
+        corpus = np.repeat(centers, 64, 0)
+        corpus = corrupt(rng, corpus, 4)
+        voc_c = V.train_chunked(corpus, n_words=64, n_iters=6, chunk=512)
+        assert voc_c.word_bits.shape == (64, 256)
+        # Held-out retrieval: same-scene frames (corrupted copies) must beat
+        # unrelated frames for BOTH trainers.
+        base = np.repeat(centers[:8], 25, 0)
+        q = V.transform(voc_c, jnp.asarray(corrupt(rng, base, 6)),
+                        jnp.ones(200, bool))
+        same = V.transform(voc_c, jnp.asarray(corrupt(rng, base, 6)),
+                           jnp.ones(200, bool))
+        diff = [V.transform(
+            voc_c,
+            jnp.asarray(rng.integers(0, 256, size=(200, 32), dtype=np.uint8)),
+            jnp.ones(200, bool)) for _ in range(6)]
+        scores = np.asarray(V.l1_scores(q, jnp.stack([same] + diff)))
+        assert scores.argmax() == 0
+
+    def test_retrieval_precision_held_out(self, rng):
+        """Scene-retrieval precision@1 on held-out views: frames of the
+        same 'place' (shared descriptor pool) must retrieve each other."""
+        n_places = 10
+        pools = [rng.integers(0, 256, size=(300, 32), dtype=np.uint8)
+                 for _ in range(n_places)]
+        train = np.concatenate([p[:200] for p in pools], 0)
+        voc = V.train(jnp.asarray(train), n_words=256, n_iters=6)
+
+        def view(pool):
+            idx = rng.permutation(300)[:150]
+            return V.transform(voc, jnp.asarray(corrupt(rng, pool[idx], 6)),
+                               jnp.ones(150, bool))
+
+        db = jnp.stack([view(p) for p in pools])
+        hits = 0
+        for i in range(n_places):
+            s = np.asarray(V.l1_scores(view(pools[i]), db))
+            hits += int(s.argmax() == i)
+        assert hits >= 9, f"precision@1 {hits}/10"

@@ -99,9 +99,11 @@ def main():
     timeit("cull_map_points(+copy)", lambda: local_mapping.cull_map_points(
         copy(m), kf_row, cfg).mp.pos)
     timeit("refresh_point_geometry(+copy)", lambda: local_mapping.
-           refresh_point_geometry(copy(m), cfg).mp.pos)
-    timeit("local_ba", lambda: local_mapping.local_ba(
-        cam, m, kf_row, cfg).mp.pos)
+           refresh_point_geometry(copy(m), kf_row, cfg).mp.pos)
+    timeit("sweep_detached(+copy)", lambda: local_mapping.sweep_detached(
+        copy(m)).kf.mp_idx)
+    timeit("local_ba(+copy)", lambda: local_mapping.local_ba(
+        cam, copy(m), kf_row, cfg).mp.pos)
     timeit("cull_keyframes(+copy)", lambda: local_mapping.cull_keyframes(
         copy(m), kf_row, cfg)[0].mp.pos)
 
