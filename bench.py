@@ -36,7 +36,7 @@ def bench_gba(cam, cfg):
     recorded without a vs_baseline)."""
     from corbslam_tpu.loop import gba as gba_mod
     from corbslam_tpu.mapstate import mapstate as ms
-    from corbslam_tpu.optim import ba
+    from corbslam_tpu.optim import ba_dense
 
     cap = cfg.capacity
     rng = np.random.default_rng(0)
@@ -84,14 +84,14 @@ def bench_gba(cam, cfg):
     )
     m = m._replace(kf=kf, mp=mp, n_kf=jnp.int32(N_used), n_mp=jnp.int32(P_used))
 
-    prob = gba_mod.build_global_problem(m, cfg)
+    prob = gba_mod.build_global_problem_dense(m, cfg)
     n_iters, cg_iters = 10, 20
-    res = ba.optimize(cam, prob, n_iters=n_iters, cg_iters=cg_iters,
-                      huber_iters=3)
+    res = ba_dense.optimize(cam, prob, n_iters=n_iters, cg_iters=cg_iters,
+                            huber_iters=3)
     jax.block_until_ready(res.Tcw)  # compile outside the timed window
     t0 = time.time()
-    res = ba.optimize(cam, prob, n_iters=n_iters, cg_iters=cg_iters,
-                      huber_iters=3)
+    res = ba_dense.optimize(cam, prob, n_iters=n_iters, cg_iters=cg_iters,
+                            huber_iters=3)
     jax.block_until_ready(res.Tcw)
     dt = time.time() - t0
     n_obs = int(N_used * obs_per_kf)

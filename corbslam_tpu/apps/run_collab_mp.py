@@ -192,7 +192,12 @@ def _spawn(role, extra, env=None, cpu: int = -1):
         # Pin to one core: on small hosts N JAX processes each spawn a
         # full per-core thread pool and thrash; pinning makes the 1-client
         # baseline and the N-client run use the same per-process resource.
-        cmd = ["taskset", "-c", str(cpu)] + cmd
+        import shutil
+        if shutil.which("taskset"):
+            cmd = ["taskset", "-c", str(cpu)] + cmd
+        else:
+            print("[fleet] taskset not available; running unpinned",
+                  file=sys.stderr)
     e = dict(os.environ)
     e.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.jax_cache"))
     if env:
@@ -206,10 +211,13 @@ def _run_fleet(n_clients, frames, tmp, gba=False, tag="", pin=False):
     stopfile = os.path.join(tmp, f"stop{tag}")
     vocab = os.path.join(tmp, "vocab.npz")
     sout = os.path.join(tmp, f"server{tag}.json")
+    ncpu = os.cpu_count() or 1
+    # Pin the server too (to the last core) so the pinned 1-client baseline
+    # and N-client runs give the server equal resources.
     srv = _spawn("server", [
         "--portfile", portfile, "--stopfile", stopfile, "--vocab", vocab,
         "--out", sout, "--timeout", "900",
-    ] + (["--gba"] if gba else []))
+    ] + (["--gba"] if gba else []), cpu=(ncpu - 1) if pin else -1)
     t0 = time.time()
     while not os.path.exists(portfile):
         if time.time() - t0 > 120 or srv.poll() is not None:
@@ -217,7 +225,6 @@ def _run_fleet(n_clients, frames, tmp, gba=False, tag="", pin=False):
         time.sleep(0.05)
     port = int(open(portfile).read())
 
-    ncpu = os.cpu_count() or 1
     procs, outs = [], []
     for k in range(n_clients):
         cout = os.path.join(tmp, f"client{tag}_{k + 1}.json")

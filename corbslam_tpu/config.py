@@ -94,6 +94,7 @@ class LoopConfig:
     min_total_matches: int = 40  # GlobalOptimize.cpp:211
     pose_graph_iters: int = 20  # OptimizeEssentialGraph (Optimizer.cc:1032)
     global_ba_iters: int = 10  # GlobalOptimize.cpp:444
+    gba_obs_per_kf: int = 512  # dense-plane GBA per-keyframe obs budget
 
 
 @dataclass(frozen=True)

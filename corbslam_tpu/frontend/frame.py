@@ -63,10 +63,10 @@ def build_frame_rgbd(
     img: jnp.ndarray, depth_map: jnp.ndarray, cam: cam_mod.Intrinsics, cfg: OrbConfig
 ) -> FrameData:
     f = orb.extract(img, cfg)
-    uright, depth, _ = stereo.compute_stereo_from_rgbd(
-        depth_map, f.xy, f.valid, float(cam.bf)
-    )
     xy_und = cam_mod.undistort_points(cam, f.xy)
+    uright, depth, _ = stereo.compute_stereo_from_rgbd(
+        depth_map, f.xy, f.valid, float(cam.bf), xy_und=xy_und
+    )
     F = f.xy.shape[0]
     return FrameData(
         xy=xy_und, octave=f.octave, angle=f.angle, desc=f.desc,

@@ -68,20 +68,30 @@ class RectifyMap:
         )
 
     def remap(self, img: np.ndarray) -> np.ndarray:
-        """Bilinear remap (cv::remap INTER_LINEAR, border = replicate-clamp)."""
+        """Bilinear remap (cv::remap INTER_LINEAR, BORDER_CONSTANT(0) as the
+        reference's default): out-of-FOV rectified pixels are zero so edge
+        texture is not smeared into them (which would spawn spurious stable
+        ORB features near borders). Output dtype matches the input."""
         h, w = img.shape[:2]
+        inside = (
+            (self.map_x >= 0.0) & (self.map_x <= w - 1.0)
+            & (self.map_y >= 0.0) & (self.map_y <= h - 1.0)
+        )
         x = np.clip(self.map_x, 0.0, w - 1.0)
         y = np.clip(self.map_y, 0.0, h - 1.0)
         x0 = np.floor(x).astype(np.int32)
         y0 = np.floor(y).astype(np.int32)
         x1 = np.minimum(x0 + 1, w - 1)
         y1 = np.minimum(y0 + 1, h - 1)
-        fx = (x - x0).astype(img.dtype if img.dtype.kind == "f" else np.float32)
+        fx = (x - x0).astype(np.float32)
         fy = (y - y0).astype(fx.dtype)
         im = img.astype(fx.dtype, copy=False)
         top = im[y0, x0] * (1 - fx) + im[y0, x1] * fx
         bot = im[y1, x0] * (1 - fx) + im[y1, x1] * fx
-        return top * (1 - fy) + bot * fy
+        out = np.where(inside, top * (1 - fy) + bot * fy, 0.0)
+        if img.dtype.kind in "ui":
+            out = np.round(out)
+        return out.astype(img.dtype, copy=False)
 
 
 # ---------------------------------------------------------------------------

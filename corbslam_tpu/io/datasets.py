@@ -115,7 +115,10 @@ class StereoFrame:
 
     def load(self):
         l, r = _imread_gray(self.left_path), _imread_gray(self.right_path)
-        if self.rectify is not None:
+        if self.rectify is not None and l.shape == self.rectify[0].map_x.shape:
+            # Rectify only when the image matches the calibration geometry
+            # (raw EuRoC frames are 480x752, same as the rectified rig);
+            # other sizes pass through untouched.
             l = self.rectify[0].remap(l)
             r = self.rectify[1].remap(r)
         return l, r

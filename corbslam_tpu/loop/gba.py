@@ -27,7 +27,7 @@ from ..config import SlamConfig
 from ..geometry import camera as cam_mod
 from ..geometry import se3
 from ..mapstate import mapstate as ms
-from ..optim import ba
+from ..optim import ba, ba_dense
 
 
 def build_global_problem(m: ms.MapState, cfg: SlamConfig) -> ba.BAProblem:
@@ -58,6 +58,15 @@ def build_global_problem(m: ms.MapState, cfg: SlamConfig) -> ba.BAProblem:
         obs_stereo=ur > 0,
         obs_valid=ok,
     )
+
+
+def build_global_problem_dense(m: ms.MapState, cfg: SlamConfig) -> ba_dense.BADense:
+    """Right-sized whole-map BA problem in the tile-native plane layout:
+    per-keyframe observation budget instead of the capacity-sized [N*F]
+    flattening (which padded to 42.7 GB of HLO temps at flagship capacity
+    and OOMed the chip). This is the production GBA path."""
+    return ba_dense.problem_from_map(
+        m, cfg.orb.scale_factor, cfg.loop.gba_obs_per_kf)
 
 
 @jax.jit
@@ -163,7 +172,7 @@ class GlobalBARunner:
 
     # ------------------------------------------------------------------
     def _run(self, m: ms.MapState):
-        prob = build_global_problem(m, self.cfg)
+        prob = build_global_problem_dense(m, self.cfg)
         n_kf_snap, n_mp_snap = m.n_kf, m.n_mp
         done = 0
         first = True
@@ -171,7 +180,7 @@ class GlobalBARunner:
             if self._abort.is_set():
                 return
             k = min(self.chunk, self.n_iters - done)
-            res = ba.optimize(
+            res = ba_dense.optimize(
                 self.cam, prob, n_iters=k,
                 cg_iters=self.cfg.mapping.local_ba_cg_iters,
                 huber_iters=k if first else 0,

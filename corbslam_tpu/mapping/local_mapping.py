@@ -18,7 +18,7 @@ from ..geometry import camera as cam_mod
 from ..geometry import se3
 from ..mapstate import covisibility as covis
 from ..mapstate import mapstate as ms
-from ..optim import ba
+from ..optim import ba_dense
 
 NO_MP = ms.NO_MP
 
@@ -52,7 +52,10 @@ def cull_map_points(m: ms.MapState, current_kf_row, cfg: SlamConfig) -> ms.MapSt
     fv = jax.lax.dynamic_slice_in_dim(m.kf.fvalid, kbase, KW, 0)
     kv = jax.lax.dynamic_slice_in_dim(m.kf.valid, kbase, KW, 0)
     contrib = (idx >= 0) & fv & kv[:, None]
-    rel = jnp.where(contrib, idx - base, -1).reshape(-1)
+    # Invalid entries must be POSITIVELY out of bounds: JAX wraps negative
+    # indices before the OOB check, so -1 would increment row R-1 and
+    # idx < base would wrap onto young rows. R is dropped by mode="drop".
+    rel = jnp.where(contrib & (idx >= base), idx - base, R).reshape(-1)
     obs = jnp.zeros(R, jnp.int32).at[rel].add(1, mode="drop")
 
     ratio = m.mp.n_found[rows].astype(jnp.float32) / jnp.maximum(
@@ -245,48 +248,6 @@ def select_local_ba_window(
     return LocalBAInputs(kf_rows, kf_free, kf_ok, mp_rows, mp_ok)
 
 
-def build_ba_problem(
-    m: ms.MapState, sel: LocalBAInputs, cfg: SlamConfig
-) -> ba.BAProblem:
-    """Flatten the window's observations into a BAProblem. Observation
-    capacity is (W+Wf) * F with a validity mask."""
-    W = sel.kf_rows.shape[0]
-    F = m.kf.n_features
-    P = sel.mp_rows.shape[0]
-
-    # Inverse point mapping: global row -> compact index.
-    inv = jnp.full(m.mp.capacity, -1, jnp.int32)
-    inv = inv.at[sel.mp_rows].set(
-        jnp.where(sel.mp_ok, jnp.arange(P, dtype=jnp.int32), -1)
-    )
-
-    kf_idx = jnp.repeat(jnp.arange(W, dtype=jnp.int32), F)      # [W*F]
-    mp_global = m.kf.mp_idx[sel.kf_rows].reshape(-1)            # [W*F]
-    fv = m.kf.fvalid[sel.kf_rows].reshape(-1)
-    ok = (mp_global >= 0) & fv & jnp.repeat(sel.kf_ok, F)
-    mp_compact = jnp.where(ok, inv[jnp.clip(mp_global, 0)], -1)
-    ok &= mp_compact >= 0
-
-    xy = m.kf.xy[sel.kf_rows].reshape(-1, 2)
-    ur = m.kf.uright[sel.kf_rows].reshape(-1)
-    octv = m.kf.octave[sel.kf_rows].reshape(-1)
-    inv_sigma2 = 1.0 / (cfg.orb.scale_factor ** (2.0 * octv.astype(jnp.float32)))
-    uvr = jnp.concatenate([xy, ur[:, None]], axis=-1)
-
-    return ba.BAProblem(
-        Tcw=m.kf.Tcw[sel.kf_rows],
-        pose_fixed=~(sel.kf_free & sel.kf_ok),
-        X=m.mp.pos[sel.mp_rows],
-        point_fixed=~sel.mp_ok | m.mp.fixed[sel.mp_rows],
-        obs_cam=kf_idx,
-        obs_point=jnp.clip(mp_compact, 0),
-        obs_uvr=uvr,
-        obs_inv_sigma2=inv_sigma2,
-        obs_stereo=ur > 0,
-        obs_valid=ok,
-    )
-
-
 @partial(jax.jit, static_argnames=("cam", "cfg"), donate_argnums=(1,))
 def local_ba(
     cam: cam_mod.Intrinsics, m: ms.MapState, kf_row, cfg: SlamConfig
@@ -296,8 +257,8 @@ def local_ba(
     sel = select_local_ba_window(
         m, kf_row, cfg.mapping.local_ba_window, cfg.mapping.local_ba_window // 2
     )
-    prob = build_ba_problem(m, sel, cfg)
-    res = ba.optimize(
+    prob = ba_dense.problem_from_window(m, sel, cfg.orb.scale_factor)
+    res = ba_dense.optimize(
         cam, prob,
         n_iters=cfg.mapping.local_ba_iters,
         cg_iters=cfg.mapping.local_ba_cg_iters,
@@ -316,10 +277,9 @@ def local_ba(
     m = m._replace(kf=kf, mp=mp)
 
     # Detach outlier observations (ref: Optimizer.cc:776-806 erases edges).
-    W = sel.kf_rows.shape[0]
-    F = m.kf.n_features
-    out = (~res.inlier) & prob.obs_valid          # [W*F]
-    out2d = out.reshape(W, F)
+    # The dense window layout is [W, F] (camera slot = window slot, feature
+    # slot = feature column), so the inlier mask maps back directly.
+    out2d = (~res.inlier) & prob.obs_active       # [W, F]
     cur_idx = m.kf.mp_idx[sel.kf_rows]
     new_idx = jnp.where(out2d, NO_MP, cur_idx)
     m = m._replace(kf=m.kf._replace(mp_idx=m.kf.mp_idx.at[sel.kf_rows].set(new_idx)))

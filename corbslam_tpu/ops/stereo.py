@@ -107,13 +107,19 @@ def compute_stereo_from_rgbd(
     valid: jnp.ndarray,
     bf: float,
     min_depth: float = 0.05,
+    xy_und: jnp.ndarray | None = None,
 ):
     """Synthesize (u_right, depth) from a registered depth map —
-    `Frame::ComputeStereoFromRGBD` (ref: Frame.cc:647)."""
+    `Frame::ComputeStereoFromRGBD` (ref: Frame.cc:647): depth is read at the
+    RAW keypoint but mvuRight is computed from the UNDISTORTED x, so the
+    stored stereo residual stays consistent with the stored (undistorted)
+    keypoint coords."""
+    if xy_und is None:
+        xy_und = xy
     h, w = depth_map.shape
     xi = jnp.clip(jnp.round(xy[:, 0]).astype(jnp.int32), 0, w - 1)
     yi = jnp.clip(jnp.round(xy[:, 1]).astype(jnp.int32), 0, h - 1)
     d = depth_map.reshape(-1)[yi * w + xi]  # flat gather (TPU-fast)
     ok = valid & (d > min_depth)
-    u_right = jnp.where(ok, xy[:, 0] - bf / jnp.maximum(d, min_depth), -1.0)
+    u_right = jnp.where(ok, xy_und[:, 0] - bf / jnp.maximum(d, min_depth), -1.0)
     return u_right, jnp.where(ok, d, 0.0), ok

@@ -1,0 +1,401 @@
+"""Dense-plane bundle adjustment: Schur/PCG LM over [C, Fb] observation
+planes — the tile-native layout of the same math as optim/ba.py.
+
+Why a second engine: the flat observation list ([O] with per-obs [3,6]
+Jacobians) is the natural CPU layout but a pathological TPU one — XLA pads
+the trailing (3,6)/(3,3) dims of every [O,3,6] temp to the (8,128) register
+tile, a 28-57x HBM expansion that OOMs global BA at flagship capacity
+(42.7 GB needed on a 15.75 GB chip for a 384-keyframe map). Here every
+per-observation quantity is a PLANE [C, Fb] (camera slot x feature slot),
+so the tiled dims are the big ones and padding vanishes:
+
+  * camera index == row index: Jc^T v and segment-sums over cameras become
+    broadcasts / row reductions — no per-observation pose gather at all;
+  * Jacobians are 18 + 9 planes [C, Fb] (stacked [3,6,C,Fb] / [3,3,C,Fb]),
+    computed symbolically from the projection (the A@B product of
+    optim/reproj.py unrolled by hand so no [O,3,3] temp ever exists);
+  * point-side reductions are 3-6 scalar segment-sums over the flattened
+    [C*Fb] plane.
+
+The observation CAPACITY is also right-sized: problems are built from the
+map with a per-keyframe feature budget Fb (valid observations compacted to
+the front of each row), not the full [N, F] table, so a 384-KF map costs
+384*Fb observations, not N*F = 4.19M.
+
+Same semantics as the reference's g2o SE3+XYZ BA with Huber kernels and
+outlier re-classification (ref: corbslam_client/src/Optimizer.cc:54,487,43;
+Thirdparty/g2o/g2o/core/block_solver.hpp), same residual-space Schur
+product as optim/ba.py (see its docstring for the f32-safety argument).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry import camera as cam_mod
+from ..geometry import se3
+from . import reproj
+from .smallmat import chol_solve_factored, chol_unrolled, inv_spd_unrolled
+
+_PREC = jax.lax.Precision.HIGHEST
+
+
+class BADense(NamedTuple):
+    """BA problem in dense plane layout.
+
+    C camera slots x Fb observation slots per camera. Inactive slots are
+    masked by ``obs_active`` (their obs_mp must still be a clipped valid
+    index in [0, P)).
+    """
+
+    Tcw: jnp.ndarray          # [C, 4, 4]
+    pose_fixed: jnp.ndarray   # [C] bool (gauge + frontier + server-fixed)
+    X: jnp.ndarray            # [P, 3]
+    point_fixed: jnp.ndarray  # [P] bool
+    obs_mp: jnp.ndarray       # [C, Fb] i32 point row (clipped)
+    obs_uvr: jnp.ndarray      # [3, C, Fb] measured u, v, uR planes
+    obs_inv_sigma2: jnp.ndarray  # [C, Fb]
+    obs_stereo: jnp.ndarray   # [C, Fb] bool
+    obs_active: jnp.ndarray   # [C, Fb] bool
+
+
+class BADenseResult(NamedTuple):
+    Tcw: jnp.ndarray
+    X: jnp.ndarray
+    inlier: jnp.ndarray  # [C, Fb] final chi2 classification
+    cost: jnp.ndarray
+
+
+class _Lin(NamedTuple):
+    r: jnp.ndarray        # [3, C, F] residual planes
+    Jc: jnp.ndarray       # [3, 6, C, F] pose-Jacobian planes
+    Jp: jnp.ndarray       # [3, 3, C, F] point-Jacobian planes
+    w3: jnp.ndarray       # [3, C, F] row weights (0 third row mono)
+    depth_ok: jnp.ndarray # [C, F]
+
+
+def _linearize(cam: cam_mod.Intrinsics, p: BADense) -> _Lin:
+    """Residual + Jacobian planes at the current linearization point.
+
+    Symbolic expansion of reproj.linearize's J_pose = -A [I | -hat(p)] and
+    J_point = -A R (left-multiplicative se3 update), with A the projection
+    differential — every entry a [C, F] plane."""
+    R = se3.rotation(p.Tcw)          # [C, 3, 3]
+    t = se3.translation(p.Tcw)       # [C, 3]
+    ids = p.obs_mp                   # [C, F]
+
+    Xg = [jnp.take(p.X[:, j], ids) for j in range(3)]  # 3 x [C, F]
+    pc = [
+        R[:, i, 0, None] * Xg[0] + R[:, i, 1, None] * Xg[1]
+        + R[:, i, 2, None] * Xg[2] + t[:, i, None]
+        for i in range(3)
+    ]
+    x, y, z = pc
+    depth_ok = z > 1e-3
+    zs = jnp.where(depth_ok, z, 1.0)
+    inv_z = 1.0 / zs
+    inv_z2 = inv_z * inv_z
+
+    fx, fy, bf = cam.fx, cam.fy, cam.bf
+    u = fx * x * inv_z + cam.cx
+    v = fy * y * inv_z + cam.cy
+    ur = u - bf * inv_z
+    r = jnp.stack([p.obs_uvr[0] - u, p.obs_uvr[1] - v, p.obs_uvr[2] - ur])
+
+    # A rows: (a0, 0, a2), (0, b1, b2), (a0, 0, c2).
+    a0 = fx * inv_z
+    a2 = -fx * x * inv_z2
+    b1 = fy * inv_z
+    b2 = -fy * y * inv_z2
+    c2 = a2 + bf * inv_z2
+    zero = jnp.zeros_like(x)
+
+    # J_pose = -(A @ [I | -hat(p)]); -hat(p) = [[0,z,-y],[-z,0,x],[y,-x,0]].
+    Jc = jnp.stack([
+        jnp.stack([-a0, zero, -a2, -(a2 * y), -(a0 * z - a2 * x), a0 * y]),
+        jnp.stack([zero, -b1, -b2, -(-b1 * z + b2 * y), b2 * x, -(b1 * x)]),
+        jnp.stack([-a0, zero, -c2, -(c2 * y), -(a0 * z - c2 * x), a0 * y]),
+    ])  # [3, 6, C, F]
+
+    # J_point = -(A @ R): row0 = -(a0 R0j + a2 R2j), row1 = -(b1 R1j + b2 R2j),
+    # row2 = -(a0 R0j + c2 R2j).
+    R0 = [R[:, 0, j, None] for j in range(3)]
+    R1 = [R[:, 1, j, None] for j in range(3)]
+    R2 = [R[:, 2, j, None] for j in range(3)]
+    Jp = jnp.stack([
+        jnp.stack([-(a0 * R0[j] + a2 * R2[j]) for j in range(3)]),
+        jnp.stack([-(b1 * R1[j] + b2 * R2[j]) for j in range(3)]),
+        jnp.stack([-(a0 * R0[j] + c2 * R2[j]) for j in range(3)]),
+    ])  # [3, 3, C, F]
+
+    wb = p.obs_inv_sigma2 * depth_ok
+    w3 = jnp.stack([wb, wb, jnp.where(p.obs_stereo, wb, 0.0)])
+    return _Lin(r, Jc, Jp, w3, depth_ok)
+
+
+def _chi2(lin: _Lin) -> jnp.ndarray:
+    """[C, F] weighted squared error per observation."""
+    return jnp.sum(lin.r * lin.r * lin.w3, axis=0)
+
+
+def _seg3(vals, ids_flat, P):
+    """3 scalar-plane segment sums -> [P, 3]; ids P is the drop bucket."""
+    cols = [
+        jax.ops.segment_sum(v.reshape(-1), ids_flat, P + 1)[:P] for v in vals
+    ]
+    return jnp.stack(cols, axis=-1)
+
+
+def lm_step_dense(cam, p: BADense, active, lam, use_huber, cg_iters: int):
+    """One LM iteration in plane layout; returns proposed (Tcw, X)."""
+    C, P = p.Tcw.shape[0], p.X.shape[0]
+    lin = _linearize(cam, p)
+    c2 = _chi2(lin)
+    delta2 = jnp.where(p.obs_stereo, reproj.CHI2_STEREO, reproj.CHI2_MONO)
+    rw = jnp.where(use_huber, reproj.huber_weights(c2, delta2), 1.0)
+    act_f = active.astype(jnp.float32)
+
+    w = lin.w3 * (rw * act_f)          # [3, C, F] total row weights
+    Jc, Jp, r = lin.Jc, lin.Jp, lin.r
+    Jc_w = Jc * w[:, None]             # [3, 6, C, F]
+    Jp_w = Jp * w[:, None]             # [3, 3, C, F]
+    free_c = (~p.pose_fixed).astype(jnp.float32)
+    free_p = (~p.point_fixed).astype(jnp.float32)
+    ids_flat = jnp.where(active, p.obs_mp, P).reshape(-1)
+
+    # Point Hessians [P, 3, 3] from 6 symmetric scalar scatters.
+    hpp_entries = {}
+    for i in range(3):
+        for j in range(i, 3):
+            v = jnp.sum(Jp_w[:, i] * Jp[:, j], axis=0)  # [C, F]
+            hpp_entries[(i, j)] = jax.ops.segment_sum(
+                v.reshape(-1), ids_flat, P + 1)[:P]
+    Hpp = jnp.stack([
+        jnp.stack([hpp_entries[(min(i, j), max(i, j))] for j in range(3)], -1)
+        for i in range(3)
+    ], -2)  # [P, 3, 3]
+
+    # Camera diagonal blocks [C, 6, 6]: row reductions, no scatter.
+    Hcc = jnp.einsum("ricf,rjcf->cij", Jc_w, Jc, precision=_PREC)
+
+    hpp_diag = jnp.einsum("pii->pi", Hpp)
+    hcc_diag = jnp.einsum("cii->ci", Hcc)
+    Hpp_d = Hpp + (lam * hpp_diag + 1e-6)[..., None] * jnp.eye(3)
+    Lpp = chol_unrolled(Hpp_d, 3)
+
+    def point_solve(yv):  # [P, 3] -> Hpp_d^-1 y; fixed points give 0
+        return chol_solve_factored(Lpp, yv, 3) * free_p[:, None]
+
+    def jc_dot(vc):
+        """[C, 6] -> a[r] = Jc v planes [3, C, F] (camera idx == row)."""
+        return jnp.einsum("rjcf,cj->rcf", Jc, vc, precision=_PREC)
+
+    def jp_dot(zp):
+        """[P, 3] -> Jp z planes [3, C, F] (3 point gathers)."""
+        zg = jnp.stack([jnp.take(zp[:, j], p.obs_mp) for j in range(3)])
+        return jnp.einsum("rjcf,jcf->rcf", Jp, zg, precision=_PREC)
+
+    def schur_mv(vc):
+        """S v in residual space; fixed cameras projected out."""
+        vc = vc * free_c[:, None]
+        a = jc_dot(vc)                                             # [3, C, F]
+        yv = _seg3([jnp.sum(Jp_w[:, i] * a, axis=0) for i in range(3)],
+                   ids_flat, P)
+        zp = point_solve(yv)
+        m = a - jp_dot(zp)
+        Sv = jnp.einsum("rjcf,rcf->cj", Jc_w, m, precision=_PREC)
+        Sv = Sv + (lam * hcc_diag + 1e-8) * vc
+        return Sv * free_c[:, None]
+
+    # RHS: b = -sum Jc^T w (r - Jp z_g), z_g = Hpp_d^-1 (Jp^T w r).
+    gp = _seg3([jnp.sum(Jp_w[:, i] * r, axis=0) for i in range(3)],
+               ids_flat, P)
+    z_g = point_solve(gp)
+    m_b = r - jp_dot(z_g)
+    b = -jnp.einsum("rjcf,rcf->cj", Jc_w, m_b, precision=_PREC) * free_c[:, None]
+
+    # Block-Jacobi preconditioner from damped camera blocks.
+    Hcc_d = Hcc + (lam * hcc_diag + 1e-8)[..., None] * jnp.eye(6)
+    Minv = inv_spd_unrolled(Hcc_d, 6)
+
+    def precond(rv):
+        return jnp.einsum("cij,cj->ci", Minv, rv, precision=_PREC) * free_c[:, None]
+
+    x0 = jnp.zeros_like(b)
+    r0 = b
+    z0 = precond(r0)
+    rz0 = jnp.sum(r0 * z0)
+
+    def cg_body(state, _):
+        xv, rv, pdir, rz = state
+        Ap = schur_mv(pdir)
+        pAp = jnp.sum(pdir * Ap)
+        alpha = rz / jnp.where(jnp.abs(pAp) < 1e-20, 1e-20, pAp)
+        xv = xv + alpha * pdir
+        rv = rv - alpha * Ap
+        zz = precond(rv)
+        rz_new = jnp.sum(rv * zz)
+        beta = rz_new / jnp.where(jnp.abs(rz) < 1e-20, 1e-20, rz)
+        return (xv, rv, zz + beta * pdir, rz_new), None
+
+    (dc, _, _, _), _ = jax.lax.scan(cg_body, (x0, r0, z0, rz0), None,
+                                    length=cg_iters)
+
+    # Back-substitute: dp = -Hpp_d^-1 Jp^T w (r + Jc dc).
+    ra = r + jc_dot(dc)
+    y2 = _seg3([jnp.sum(Jp_w[:, i] * ra, axis=0) for i in range(3)],
+               ids_flat, P)
+    dp = -point_solve(y2)
+
+    T_new = se3.retract(p.Tcw, dc)
+    T_new = jnp.where(p.pose_fixed[:, None, None], p.Tcw, T_new)
+    return T_new, p.X + dp, c2, delta2
+
+
+def _total_cost(c2, delta2, act_f, use_huber):
+    rho = jnp.where(
+        use_huber & (c2 > delta2),
+        2.0 * jnp.sqrt(delta2 * jnp.maximum(c2, 1e-12)) - delta2,
+        c2,
+    )
+    return jnp.sum(rho * act_f)
+
+
+@partial(jax.jit, static_argnames=("n_iters", "cg_iters", "huber_iters"))
+def optimize(
+    cam: cam_mod.Intrinsics,
+    problem: BADense,
+    n_iters: int = 10,
+    cg_iters: int = 40,
+    huber_iters: int = 5,
+) -> BADenseResult:
+    """LM loop with accept/reject; same schedule as optim/ba.optimize
+    (robust phase then plain, outlier re-classification after the robust
+    phase — Optimizer.cc:711-758)."""
+
+    def chi2_of(p, active):
+        lin = _linearize(cam, p)
+        return _chi2(lin)
+
+    def body(state, it):
+        p, lam, active = state
+        use_huber = it < huber_iters
+        T_new, X_new, c2_old, delta2 = lm_step_dense(
+            cam, p, active, lam, use_huber, cg_iters)
+        p_new = p._replace(Tcw=T_new, X=X_new)
+        c2_new = chi2_of(p_new, active)
+        act_f = active.astype(jnp.float32)
+        cost_new = _total_cost(c2_new, delta2, act_f, use_huber)
+        cost_old = _total_cost(c2_old, delta2, act_f, use_huber)
+        accept = cost_new < cost_old
+        p = jax.tree.map(
+            lambda a, b: jnp.where(jnp.reshape(accept, (1,) * a.ndim), a, b),
+            p_new, p,
+        )
+        lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-9),
+                        jnp.minimum(lam * 5.0, 1e3))
+        c2_cur = chi2_of(p, active)
+        reclass = active & (c2_cur <= delta2)
+        active = jnp.where(it == huber_iters - 1, reclass, active)
+        return (p, lam, active), cost_old
+
+    active0 = problem.obs_active
+    (p, _, active), _ = jax.lax.scan(
+        body, (problem, jnp.float32(1e-4), active0), jnp.arange(n_iters)
+    )
+
+    c2 = chi2_of(p, active)
+    delta2 = jnp.where(p.obs_stereo, reproj.CHI2_STEREO, reproj.CHI2_MONO)
+    inlier = problem.obs_active & (c2 <= delta2)
+    cost = _total_cost(c2, delta2, active.astype(jnp.float32), False)
+    return BADenseResult(p.Tcw, p.X, inlier, cost)
+
+
+# ---------------------------------------------------------------------------
+# Problem builders
+# ---------------------------------------------------------------------------
+
+def _inv_sigma2_of(octave, scale_factor: float):
+    return 1.0 / (scale_factor ** (2.0 * octave.astype(jnp.float32)))
+
+
+def compact_rows(ok: jnp.ndarray, budget: int) -> jnp.ndarray:
+    """Per-row compaction: [N, F] validity -> [N, budget] column indices with
+    valid entries first (stable order). Rows with fewer than `budget` valid
+    entries point the tail at invalid columns (caller re-checks ok)."""
+    order = jnp.argsort(~ok, axis=1, stable=True)
+    return order[:, :budget]
+
+
+def problem_from_map(
+    m, scale_factor: float, obs_per_kf: int, gauge_row: int = 0
+) -> BADense:
+    """Flatten the full map into a BADense with a per-keyframe observation
+    budget — the right-sized global-BA problem (GlobalBundleAdjustemnt's
+    all-KFs/all-points graph, ref Optimizer.cc:43-54) that made the
+    capacity-sized [N*F] flattening OOM-proof."""
+    idx = m.kf.mp_idx
+    ok = (idx >= 0) & m.kf.fvalid & m.kf.valid[:, None]
+    ok &= jnp.where(idx >= 0, m.mp.valid[jnp.clip(idx, 0)], False)
+
+    sel = compact_rows(ok, obs_per_kf)                        # [N, Fb]
+    take = lambda a: jnp.take_along_axis(a, sel, axis=1)
+    active = take(ok)
+    ids = jnp.clip(take(idx), 0)
+    u = take(m.kf.xy[..., 0])
+    v = take(m.kf.xy[..., 1])
+    ur = take(m.kf.uright)
+    inv_sigma2 = _inv_sigma2_of(take(m.kf.octave), scale_factor)
+
+    pose_fixed = ~m.kf.valid | m.kf.fixed
+    pose_fixed = pose_fixed.at[gauge_row].set(True)
+    return BADense(
+        Tcw=m.kf.Tcw,
+        pose_fixed=pose_fixed,
+        X=m.mp.pos,
+        point_fixed=~m.mp.valid | m.mp.fixed,
+        obs_mp=ids,
+        obs_uvr=jnp.stack([u, v, ur]),
+        obs_inv_sigma2=inv_sigma2,
+        obs_stereo=ur > 0,
+        obs_active=active,
+    )
+
+
+def problem_from_window(m, sel, scale_factor: float) -> BADense:
+    """Local-BA window (LocalBAInputs) -> BADense. Camera slot = window
+    slot; the window's [W, F] feature table IS the plane layout, so no
+    per-row compaction is needed (W is small). Point rows are compacted to
+    sel.mp_rows with an inverse map, as optim/ba's flat builder did."""
+    W = sel.kf_rows.shape[0]
+    P = sel.mp_rows.shape[0]
+
+    inv = jnp.full(m.mp.capacity, -1, jnp.int32)
+    inv = inv.at[sel.mp_rows].set(
+        jnp.where(sel.mp_ok, jnp.arange(P, dtype=jnp.int32), -1)
+    )
+    idx = m.kf.mp_idx[sel.kf_rows]                            # [W, F]
+    ok = (idx >= 0) & m.kf.fvalid[sel.kf_rows] & sel.kf_ok[:, None]
+    compact = jnp.where(ok, inv[jnp.clip(idx, 0)], -1)
+    ok &= compact >= 0
+
+    u = m.kf.xy[sel.kf_rows, :, 0]
+    v = m.kf.xy[sel.kf_rows, :, 1]
+    ur = m.kf.uright[sel.kf_rows]
+    inv_sigma2 = _inv_sigma2_of(m.kf.octave[sel.kf_rows], scale_factor)
+
+    return BADense(
+        Tcw=m.kf.Tcw[sel.kf_rows],
+        pose_fixed=~(sel.kf_free & sel.kf_ok),
+        X=m.mp.pos[sel.mp_rows],
+        point_fixed=~sel.mp_ok | m.mp.fixed[sel.mp_rows],
+        obs_mp=jnp.clip(compact, 0),
+        obs_uvr=jnp.stack([u, v, ur]),
+        obs_inv_sigma2=inv_sigma2,
+        obs_stereo=ur > 0,
+        obs_active=ok,
+    )
