@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from ..config import SlamConfig
 from ..geometry import camera as cam_mod
 from ..geometry import se3
+from ..mapstate import covisibility as covis
 from ..mapstate import mapstate as ms
 from ..optim import ba, ba_dense
 
@@ -78,21 +79,38 @@ def merge_gba_result(
     n_mp_snap,
 ) -> ms.MapState:
     """Write a finished GBA result into the CURRENT map, propagating the
-    correction to rows created during the run (LoopClosing.cc:685-755):
-    new keyframes move by the delta of the last optimized keyframe
-    (T_new = T ∘ T_anchor^-1 ∘ T_anchor_opt); new landmarks follow their
-    reference keyframe's correction."""
+    correction to rows created during the run via the spanning chain
+    (LoopClosing.cc:685-755 walks the spanning tree: each un-optimized
+    child moves by its PARENT's correction, Tcw_child ∘ Tcw_parent^-1 ∘
+    Tcw_parent_opt). Rows are allocated in time order and parents point
+    earlier, so the chain from any new row to its snapshot ancestor is
+    resolved with pointer doubling; a row whose client joined entirely
+    during the run has no snapshot ancestor and keeps its pose. New
+    landmarks follow their reference keyframe's correction."""
     N = m.kf.capacity
-    rows = jnp.arange(N)
+    rows = jnp.arange(N, dtype=jnp.int32)
     in_snap = rows < n_kf_snap
-    anchor = jnp.clip(n_kf_snap - 1, 0)
-    T_anchor_old = m.kf.Tcw[anchor]
-    T_anchor_new = Tcw_opt[anchor]
-    delta = se3.compose(se3.inverse(T_anchor_old), T_anchor_new)  # right delta
-    T_prop = jax.vmap(lambda T: se3.compose(T, delta))(m.kf.Tcw)
+    T_old = m.kf.Tcw
+
+    # Right-delta per snapshot row: D[p] = T_old[p]^-1 ∘ T_opt[p].
+    D = jax.vmap(lambda To, Tn: se3.compose(se3.inverse(To), Tn))(
+        T_old, Tcw_opt)
+
+    # Snapshot ancestor of every row along the per-client spanning chain.
+    parent = covis.spanning_parents(m)
+    anc = jnp.where(in_snap | (parent < 0), rows, parent)
+    for _ in range(12):  # pointer doubling: covers chains up to 2^12 rows
+        step = anc[jnp.clip(anc, 0)]
+        done = in_snap[jnp.clip(anc, 0)] | (step == anc)
+        anc = jnp.where(done, anc, step)
+    anc_ok = in_snap[jnp.clip(anc, 0)]
+    D_row = jnp.where(
+        anc_ok[:, None, None], D[jnp.clip(anc, 0)],
+        jnp.broadcast_to(jnp.eye(4), (N, 4, 4)),
+    )
+    T_prop = jax.vmap(se3.compose)(T_old, D_row)
 
     writable = m.kf.valid & ~m.kf.fixed
-    T_old = m.kf.Tcw
     T_new = jnp.where(in_snap[:, None, None], Tcw_opt, T_prop)
     T_new = jnp.where(writable[:, None, None], T_new, T_old)
     kf = m.kf._replace(Tcw=T_new)

@@ -192,22 +192,13 @@ class LoopEdges(NamedTuple):
 
 
 def spanning_parents(m: ms.MapState) -> jnp.ndarray:
-    """[N] parent row per keyframe: the nearest EARLIER valid row — the
-    temporal chain. Keyframe rows are allocated sequentially, so this is the
-    reference's spanning tree for sequential SLAM (KeyFrame's parent is the
-    max-covisibility keyframe at creation time, i.e. a recent one). Deriving
-    parents from post-hoc covisibility instead would rewire the query's
-    parent to the LOOP keyframe after SearchAndFuse merges their landmarks —
-    an odometry edge measuring the loop discontinuity. Row 0 / orphan rows
-    get parent -1.
-    """
-    N = m.kf.capacity
-    rows = jnp.arange(N, dtype=jnp.int32)
-    ids = jnp.where(m.kf.valid, rows, -1)
-    # parent[i] = max over j < i of ids[j] (nearest earlier valid row).
-    parent = jax.lax.associative_scan(jnp.maximum, ids)
-    parent = jnp.concatenate([jnp.asarray([-1], jnp.int32), parent[:-1]])
-    return jnp.where(m.kf.valid, parent, -1)
+    """Per-client temporal spanning chain (see covisibility.spanning_parents;
+    kept as a re-export here because the essential graph below and the GBA
+    merge-back both consume it). Deriving parents from post-hoc covisibility
+    instead would rewire the query's parent to the LOOP keyframe after
+    SearchAndFuse merges their landmarks — an odometry edge measuring the
+    loop discontinuity."""
+    return covis.spanning_parents(m)
 
 
 def build_essential_graph(

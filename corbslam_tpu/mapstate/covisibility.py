@@ -195,6 +195,40 @@ def local_map_mask(m: MapState, kf_rows: jnp.ndarray, kf_ok: jnp.ndarray) -> jnp
     return mask.at[jnp.where(ok, idx, 0)].max(ok) & m.mp.valid
 
 
+def spanning_parents(m) -> jnp.ndarray:
+    """[N] parent row per keyframe: the nearest EARLIER valid row OF THE
+    SAME CLIENT — the per-client temporal chain. Keyframe rows are allocated
+    sequentially per client, so this is the reference's spanning tree for
+    sequential SLAM (KeyFrame's parent is the max-covisibility keyframe at
+    creation time, i.e. a recent one of the same robot; KeyFrame.h:140-150).
+    In a MERGED multi-client map rows interleave clients, so the chain must
+    not cross client seams: a cross-client "nearest earlier row" edge would
+    act as a rigid zero-residual odometry constraint between unrelated
+    trajectories. Row 0 / per-client-first / orphan rows get parent -1.
+    """
+    N = m.kf.capacity
+    valid = m.kf.valid
+    # Group rows by client (invalid rows to the end); within a client the
+    # stable sort keeps rows ascending, so a segmented exclusive running
+    # max yields the nearest earlier valid same-client row.
+    ckey = jnp.where(valid, m.kf.client, jnp.int32(2 ** 30))
+    order = jnp.argsort(ckey, stable=True)
+    ids_s = jnp.where(valid[order], order, -1)
+    c_s = ckey[order]
+
+    def seg_max(a, b):
+        ca, va = a
+        cb, vb = b
+        return cb, jnp.where(ca == cb, jnp.maximum(va, vb), vb)
+
+    _, pmax = jax.lax.associative_scan(seg_max, (c_s, ids_s))
+    pm_prev = jnp.concatenate([jnp.asarray([-1], jnp.int32), pmax[:-1]])
+    c_prev = jnp.concatenate([jnp.asarray([-1], jnp.int32), c_s[:-1]])
+    par_s = jnp.where(c_prev == c_s, pm_prev, -1)
+    parent = jnp.zeros(N, jnp.int32).at[order].set(par_s)
+    return jnp.where(valid, parent, -1)
+
+
 def compact_indices(mask: jnp.ndarray, k: int, newest_first: bool = True):
     """Fixed-size compaction: rows of up to k True entries of `mask`.
 

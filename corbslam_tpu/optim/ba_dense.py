@@ -88,7 +88,10 @@ def _linearize(cam: cam_mod.Intrinsics, p: BADense) -> _Lin:
     t = se3.translation(p.Tcw)       # [C, 3]
     ids = p.obs_mp                   # [C, F]
 
-    Xg = [jnp.take(p.X[:, j], ids) for j in range(3)]  # 3 x [C, F]
+    # One packed row-gather ([P,3] rows) is ~7x cheaper on TPU than three
+    # scalar gathers (12B per random index vs 3x4B) — see tools/ablate_ba.
+    Xg_rows = p.X[ids]                                 # [C, F, 3]
+    Xg = [Xg_rows[..., j] for j in range(3)]           # 3 x [C, F]
     pc = [
         R[:, i, 0, None] * Xg[0] + R[:, i, 1, None] * Xg[1]
         + R[:, i, 2, None] * Xg[2] + t[:, i, None]
@@ -143,11 +146,11 @@ def _chi2(lin: _Lin) -> jnp.ndarray:
 
 
 def _seg3(vals, ids_flat, P):
-    """3 scalar-plane segment sums -> [P, 3]; ids P is the drop bucket."""
-    cols = [
-        jax.ops.segment_sum(v.reshape(-1), ids_flat, P + 1)[:P] for v in vals
-    ]
-    return jnp.stack(cols, axis=-1)
+    """Packed 3-component segment sum -> [P, 3]; ids P is the drop bucket.
+    One multi-component scatter is ~1.4x cheaper than three scalar ones
+    (tools/ablate_ba)."""
+    packed = jnp.stack([v.reshape(-1) for v in vals], axis=-1)  # [CF, 3]
+    return jax.ops.segment_sum(packed, ids_flat, P + 1)[:P]
 
 
 def lm_step_dense(cam, p: BADense, active, lam, use_huber, cg_iters: int):
@@ -167,15 +170,16 @@ def lm_step_dense(cam, p: BADense, active, lam, use_huber, cg_iters: int):
     free_p = (~p.point_fixed).astype(jnp.float32)
     ids_flat = jnp.where(active, p.obs_mp, P).reshape(-1)
 
-    # Point Hessians [P, 3, 3] from 6 symmetric scalar scatters.
-    hpp_entries = {}
-    for i in range(3):
-        for j in range(i, 3):
-            v = jnp.sum(Jp_w[:, i] * Jp[:, j], axis=0)  # [C, F]
-            hpp_entries[(i, j)] = jax.ops.segment_sum(
-                v.reshape(-1), ids_flat, P + 1)[:P]
+    # Point Hessians [P, 3, 3]: 6 symmetric entries in ONE packed scatter
+    # (~2.8x cheaper than six scalar scatters, tools/ablate_ba).
+    sym = [(0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)]
+    packed = jnp.stack([
+        jnp.sum(Jp_w[:, i] * Jp[:, j], axis=0).reshape(-1) for i, j in sym
+    ], axis=-1)                                         # [CF, 6]
+    hp = jax.ops.segment_sum(packed, ids_flat, P + 1)[:P]  # [P, 6]
+    e = {s: hp[:, k] for k, s in enumerate(sym)}
     Hpp = jnp.stack([
-        jnp.stack([hpp_entries[(min(i, j), max(i, j))] for j in range(3)], -1)
+        jnp.stack([e[(min(i, j), max(i, j))] for j in range(3)], -1)
         for i in range(3)
     ], -2)  # [P, 3, 3]
 
@@ -195,8 +199,9 @@ def lm_step_dense(cam, p: BADense, active, lam, use_huber, cg_iters: int):
         return jnp.einsum("rjcf,cj->rcf", Jc, vc, precision=_PREC)
 
     def jp_dot(zp):
-        """[P, 3] -> Jp z planes [3, C, F] (3 point gathers)."""
-        zg = jnp.stack([jnp.take(zp[:, j], p.obs_mp) for j in range(3)])
+        """[P, 3] -> Jp z planes [3, C, F] (one packed row gather)."""
+        zg_rows = zp[p.obs_mp]                          # [C, F, 3]
+        zg = jnp.stack([zg_rows[..., j] for j in range(3)])
         return jnp.einsum("rjcf,jcf->rcf", Jp, zg, precision=_PREC)
 
     def schur_mv(vc):
@@ -277,7 +282,7 @@ def optimize(
     (robust phase then plain, outlier re-classification after the robust
     phase — Optimizer.cc:711-758)."""
 
-    def chi2_of(p, active):
+    def chi2_of(p):
         lin = _linearize(cam, p)
         return _chi2(lin)
 
@@ -287,7 +292,7 @@ def optimize(
         T_new, X_new, c2_old, delta2 = lm_step_dense(
             cam, p, active, lam, use_huber, cg_iters)
         p_new = p._replace(Tcw=T_new, X=X_new)
-        c2_new = chi2_of(p_new, active)
+        c2_new = chi2_of(p_new)
         act_f = active.astype(jnp.float32)
         cost_new = _total_cost(c2_new, delta2, act_f, use_huber)
         cost_old = _total_cost(c2_old, delta2, act_f, use_huber)
@@ -298,7 +303,8 @@ def optimize(
         )
         lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-9),
                         jnp.minimum(lam * 5.0, 1e3))
-        c2_cur = chi2_of(p, active)
+        # chi2 at the accepted state (no third linearize needed).
+        c2_cur = jnp.where(accept, c2_new, c2_old)
         reclass = active & (c2_cur <= delta2)
         active = jnp.where(it == huber_iters - 1, reclass, active)
         return (p, lam, active), cost_old
@@ -308,7 +314,7 @@ def optimize(
         body, (problem, jnp.float32(1e-4), active0), jnp.arange(n_iters)
     )
 
-    c2 = chi2_of(p, active)
+    c2 = chi2_of(p)
     delta2 = jnp.where(p.obs_stereo, reproj.CHI2_STEREO, reproj.CHI2_MONO)
     inlier = problem.obs_active & (c2 <= delta2)
     cost = _total_cost(c2, delta2, active.astype(jnp.float32), False)

@@ -201,6 +201,83 @@ class TestLoopCorrection:
         assert n_valid_after < n_valid_before
 
 
+class TestSpanningParents:
+    def test_chain_stays_within_client(self, rng):
+        """In a merged global map with interleaved client rows the spanning
+        chain must follow per-client predecessors — no cross-client
+        zero-residual odometry edges (ref spanning tree semantics,
+        KeyFrame.h:140-150; Optimizer.cc:840)."""
+        m = ms.empty(CFG.capacity)
+        clients = jnp.asarray(
+            [1, 1, 2, 1, 2, 2, 1, 3, 2, 3], jnp.int32)
+        n = clients.shape[0]
+        valid = jnp.zeros(CFG.capacity.max_keyframes, bool).at[:n].set(True)
+        valid = valid.at[4].set(False)  # a culled row mid-sequence
+        kf = m.kf._replace(
+            valid=valid,
+            client=m.kf.client.at[:n].set(clients),
+        )
+        m = m._replace(kf=kf, n_kf=jnp.int32(n))
+        parent = np.asarray(lc.spanning_parents(m))
+        cl = np.asarray(m.kf.client)
+        val = np.asarray(m.kf.valid)
+        for i in range(n):
+            if not val[i]:
+                assert parent[i] == -1
+                continue
+            same = [j for j in range(i) if val[j] and cl[j] == cl[i]]
+            expect = max(same) if same else -1
+            assert parent[i] == expect, (i, parent[i], expect)
+        assert (parent[n:] == -1).all()
+
+
+class TestGbaMergeBack:
+    def test_chain_and_cross_client_propagation(self, rng):
+        """Keyframes created DURING a GBA run must move by their spanning
+        PARENT's correction, chained (ref LoopClosing.cc:685-755), and a
+        client with no snapshot ancestor must not move at all."""
+        m, gt, est, kf_c, kf_q = build_loop_map(rng)
+        n_snap_kf, n_snap_mp = m.n_kf, m.n_mp
+        Tcw_opt = np.asarray(m.kf.Tcw).copy()
+        Tcw_opt[: int(n_snap_kf), 0, 3] += 1.0
+
+        F = CFG.capacity.max_features
+        zeros = dict(
+            xy=m.kf.xy[0], octave=m.kf.octave[0], angle=m.kf.angle[0],
+            desc=m.kf.desc[0], uright=m.kf.uright[0], depth=m.kf.depth[0],
+            fvalid=m.kf.fvalid[0],
+        )
+        # A chain of two new keyframes for client 0 (the map's client).
+        T_a = np.eye(4, dtype=np.float32); T_a[0, 3] = 5.0
+        T_b = np.eye(4, dtype=np.float32); T_b[0, 3] = 7.0
+        m2, row_a = ms.insert_keyframe(
+            m, jnp.asarray(T_a), zeros["xy"], zeros["octave"], zeros["angle"],
+            zeros["desc"], zeros["uright"], zeros["depth"], zeros["fvalid"],
+            jnp.full(F, ms.NO_MP, jnp.int32), frame_id=90, timestamp=1.0)
+        m2, row_b = ms.insert_keyframe(
+            m2, jnp.asarray(T_b), zeros["xy"], zeros["octave"], zeros["angle"],
+            zeros["desc"], zeros["uright"], zeros["depth"], zeros["fvalid"],
+            jnp.full(F, ms.NO_MP, jnp.int32), frame_id=91, timestamp=1.1)
+        # A new keyframe of a DIFFERENT client (no snapshot ancestor).
+        T_c = np.eye(4, dtype=np.float32); T_c[1, 3] = 3.0
+        m2, row_c = ms.insert_keyframe(
+            m2, jnp.asarray(T_c), zeros["xy"], zeros["octave"], zeros["angle"],
+            zeros["desc"], zeros["uright"], zeros["depth"], zeros["fvalid"],
+            jnp.full(F, ms.NO_MP, jnp.int32), frame_id=92, timestamp=1.2,
+            client=7)
+
+        m3 = gba_mod.merge_gba_result(
+            m2, jnp.asarray(Tcw_opt), m2.mp.pos, n_snap_kf, n_snap_mp)
+        # Identity-rotation poses: right-delta = pure +1.0 x translation,
+        # applied through the chain a -> b.
+        assert np.allclose(np.asarray(m3.kf.Tcw[int(row_a)])[0, 3], 6.0,
+                           atol=1e-5)
+        assert np.allclose(np.asarray(m3.kf.Tcw[int(row_b)])[0, 3], 8.0,
+                           atol=1e-5)
+        # Foreign-client row without snapshot ancestor: unchanged.
+        assert np.allclose(np.asarray(m3.kf.Tcw[int(row_c)]), T_c, atol=1e-6)
+
+
 class TestEssentialGraphUnit:
     def test_zero_drift_is_stationary(self, rng):
         m, gt, est, kf_c, kf_q = build_loop_map(rng, drift_per_kf=0.0)
