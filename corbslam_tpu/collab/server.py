@@ -167,8 +167,7 @@ class MapFusionServer:
                 self.voc, m.kf.desc[jnp.asarray(rows_np)],
                 m.kf.fvalid[jnp.asarray(rows_np)],
             )
-            for i, r in enumerate(rows_np.tolist()):
-                db = db.add(r, bows[i])
+            db = db.add_batch(jnp.asarray(rows_np), bows)
         return m, db, len(idxs)
 
     def _insert_mps_into(self, m, mp_ids, kf_ids, msg,
@@ -318,30 +317,45 @@ class MapFusionServer:
                 return True
         return False
 
+    _ALIGN_QUERY_CHUNK = 256   # sub-map keyframes BoW-scored per dispatch
+    _ALIGN_VERIFY_MAX = 8      # geometric verifications per fusion attempt
+
     def _try_align(self, sm: SubMap) -> Optional[tuple]:
         """detectKeyFrameInServerMap over the sub-map's keyframes
-        (MapFusion.cpp:488-521): BoW candidates from the global database,
-        then geometric verification. Returns ((R, t, s), q_sub, cand_glob)
-        — the alignment plus the seam keyframe pair that produced it."""
-        n_kf = int(sm.map.n_kf)
-        for q in range(n_kf - 1, -1, -1):  # newest first
-            if not bool(sm.map.kf.valid[q]):
-                continue
-            bow = vocab_mod.transform(
-                self.voc, sm.map.kf.desc[q], sm.map.kf.fvalid[q]
+        (MapFusion.cpp:488-521), BATCHED: every sub-map keyframe is scored
+        against the whole global BoW database in O(n_kf/256) dispatches
+        (one transform_batch + one pair-top-k each); only the best few
+        (query, candidate) pairs get the expensive geometric verification.
+        The reference walks keyframes one BoW query at a time. Returns
+        ((R, t, s), q_sub, cand_glob) — the alignment plus the seam
+        keyframe pair that produced it."""
+        kfv = np.nonzero(np.asarray(sm.map.kf.valid))[0]
+        if len(kfv) == 0:
+            return None
+        QC = self._ALIGN_QUERY_CHUNK
+        pairs = []
+        for lo in range(0, len(kfv), QC):
+            sel = kfv[lo:lo + QC]
+            pad = QC - len(sel)
+            selj = jnp.asarray(
+                np.concatenate([sel, np.zeros(pad, sel.dtype)]) if pad else sel)
+            bows = vocab_mod.transform_batch(
+                self.voc, sm.map.kf.desc[selj], sm.map.kf.fvalid[selj])
+            q_ok = jnp.arange(QC) < len(sel)
+            qi, rows, vals, ok = db_mod.detect_map_fusion_pairs(
+                self.gdb, self.gmap.kf.valid, bows, q_ok)
+            for a, r, v, o in zip(np.asarray(qi), np.asarray(rows),
+                                  np.asarray(vals), np.asarray(ok)):
+                if o:
+                    pairs.append((float(v), int(sel[a]), int(r)))
+        pairs.sort(reverse=True)
+        for _, q, r in pairs[: self._ALIGN_VERIFY_MAX]:
+            res = fusion_ops.detect_overlap(
+                self.cam, self.gmap, r, sm.map, q,
+                self._next_key(), self.cfg,
             )
-            cand_rows, cand_ok = db_mod.detect_map_fusion_candidates(
-                self.gdb, self.gmap, bow, k=4
-            )
-            for r, okc in zip(np.asarray(cand_rows), np.asarray(cand_ok)):
-                if not okc:
-                    continue
-                res = fusion_ops.detect_overlap(
-                    self.cam, self.gmap, int(r), sm.map, q,
-                    self._next_key(), self.cfg,
-                )
-                if bool(res.ok):
-                    return (res.R, res.t, res.s), q, int(r)
+            if bool(res.ok):
+                return (res.R, res.t, res.s), q, r
         return None
 
     def _merge_submap(self, cid: int, sm: SubMap, align):
@@ -406,8 +420,7 @@ class MapFusionServer:
                 self.voc, g.kf.desc[jnp.asarray(rows_np)],
                 g.kf.fvalid[jnp.asarray(rows_np)],
             )
-            for i, rr in enumerate(rows_np.tolist()):
-                self.gdb = self.gdb.add(rr, bows[i])
+            self.gdb = self.gdb.add_batch(jnp.asarray(rows_np), bows)
 
         # --- second pass: remap landmark reference keyframes --------------
         # MP chunks were inserted before the keyframes (KFs reference MP

@@ -145,16 +145,29 @@ def _chi2(lin: _Lin) -> jnp.ndarray:
     return jnp.sum(lin.r * lin.r * lin.w3, axis=0)
 
 
-def _seg3(vals, ids_flat, P):
+def _psum(x, axis):
+    return jax.lax.psum(x, axis) if axis is not None else x
+
+
+def _seg3(vals, ids_flat, P, axis=None):
     """Packed 3-component segment sum -> [P, 3]; ids P is the drop bucket.
     One multi-component scatter is ~1.4x cheaper than three scalar ones
-    (tools/ablate_ba)."""
+    (tools/ablate_ba). Under a camera-sharded mesh the local partial sums
+    psum into the replicated point state (the "psum of Schur-reduced
+    blocks" collective of BASELINE.json)."""
     packed = jnp.stack([v.reshape(-1) for v in vals], axis=-1)  # [CF, 3]
-    return jax.ops.segment_sum(packed, ids_flat, P + 1)[:P]
+    return _psum(jax.ops.segment_sum(packed, ids_flat, P + 1)[:P], axis)
 
 
-def lm_step_dense(cam, p: BADense, active, lam, use_huber, cg_iters: int):
-    """One LM iteration in plane layout; returns proposed (Tcw, X)."""
+def lm_step_dense(cam, p: BADense, active, lam, use_huber, cg_iters: int,
+                  axis: str | None = None):
+    """One LM iteration in plane layout; returns proposed (Tcw, X).
+
+    `axis`: name of a mesh axis the CAMERA dimension is sharded over
+    (shard_map). Point-side reductions and CG scalars psum across it;
+    camera-side state stays local — the distributed-GBA layout
+    (ref analog: the server's whole-map GlobalBundleAdjustemnt,
+    GlobalOptimize.cpp:444, scaled over chips instead of one CPU)."""
     C, P = p.Tcw.shape[0], p.X.shape[0]
     lin = _linearize(cam, p)
     c2 = _chi2(lin)
@@ -176,7 +189,7 @@ def lm_step_dense(cam, p: BADense, active, lam, use_huber, cg_iters: int):
     packed = jnp.stack([
         jnp.sum(Jp_w[:, i] * Jp[:, j], axis=0).reshape(-1) for i, j in sym
     ], axis=-1)                                         # [CF, 6]
-    hp = jax.ops.segment_sum(packed, ids_flat, P + 1)[:P]  # [P, 6]
+    hp = _psum(jax.ops.segment_sum(packed, ids_flat, P + 1)[:P], axis)
     e = {s: hp[:, k] for k, s in enumerate(sym)}
     Hpp = jnp.stack([
         jnp.stack([e[(min(i, j), max(i, j))] for j in range(3)], -1)
@@ -209,7 +222,7 @@ def lm_step_dense(cam, p: BADense, active, lam, use_huber, cg_iters: int):
         vc = vc * free_c[:, None]
         a = jc_dot(vc)                                             # [3, C, F]
         yv = _seg3([jnp.sum(Jp_w[:, i] * a, axis=0) for i in range(3)],
-                   ids_flat, P)
+                   ids_flat, P, axis)
         zp = point_solve(yv)
         m = a - jp_dot(zp)
         Sv = jnp.einsum("rjcf,rcf->cj", Jc_w, m, precision=_PREC)
@@ -218,7 +231,7 @@ def lm_step_dense(cam, p: BADense, active, lam, use_huber, cg_iters: int):
 
     # RHS: b = -sum Jc^T w (r - Jp z_g), z_g = Hpp_d^-1 (Jp^T w r).
     gp = _seg3([jnp.sum(Jp_w[:, i] * r, axis=0) for i in range(3)],
-               ids_flat, P)
+               ids_flat, P, axis)
     z_g = point_solve(gp)
     m_b = r - jp_dot(z_g)
     b = -jnp.einsum("rjcf,rcf->cj", Jc_w, m_b, precision=_PREC) * free_c[:, None]
@@ -233,17 +246,17 @@ def lm_step_dense(cam, p: BADense, active, lam, use_huber, cg_iters: int):
     x0 = jnp.zeros_like(b)
     r0 = b
     z0 = precond(r0)
-    rz0 = jnp.sum(r0 * z0)
+    rz0 = _psum(jnp.sum(r0 * z0), axis)
 
     def cg_body(state, _):
         xv, rv, pdir, rz = state
         Ap = schur_mv(pdir)
-        pAp = jnp.sum(pdir * Ap)
+        pAp = _psum(jnp.sum(pdir * Ap), axis)
         alpha = rz / jnp.where(jnp.abs(pAp) < 1e-20, 1e-20, pAp)
         xv = xv + alpha * pdir
         rv = rv - alpha * Ap
         zz = precond(rv)
-        rz_new = jnp.sum(rv * zz)
+        rz_new = _psum(jnp.sum(rv * zz), axis)
         beta = rz_new / jnp.where(jnp.abs(rz) < 1e-20, 1e-20, rz)
         return (xv, rv, zz + beta * pdir, rz_new), None
 
@@ -253,7 +266,7 @@ def lm_step_dense(cam, p: BADense, active, lam, use_huber, cg_iters: int):
     # Back-substitute: dp = -Hpp_d^-1 Jp^T w (r + Jc dc).
     ra = r + jc_dot(dc)
     y2 = _seg3([jnp.sum(Jp_w[:, i] * ra, axis=0) for i in range(3)],
-               ids_flat, P)
+               ids_flat, P, axis)
     dp = -point_solve(y2)
 
     T_new = se3.retract(p.Tcw, dc)
@@ -281,6 +294,21 @@ def optimize(
     """LM loop with accept/reject; same schedule as optim/ba.optimize
     (robust phase then plain, outlier re-classification after the robust
     phase — Optimizer.cc:711-758)."""
+    return optimize_core(cam, problem, n_iters, cg_iters, huber_iters, None)
+
+
+def optimize_core(
+    cam: cam_mod.Intrinsics,
+    problem: BADense,
+    n_iters: int,
+    cg_iters: int,
+    huber_iters: int,
+    axis: str | None,
+) -> BADenseResult:
+    """The LM loop body, callable single-device (axis=None) or INSIDE a
+    shard_map with the camera dimension split over `axis` (the accept /
+    reject decision then uses the psum'd global cost, so every shard takes
+    identical branches — see parallel/distributed_ba.optimize_dense)."""
 
     def chi2_of(p):
         lin = _linearize(cam, p)
@@ -290,12 +318,12 @@ def optimize(
         p, lam, active = state
         use_huber = it < huber_iters
         T_new, X_new, c2_old, delta2 = lm_step_dense(
-            cam, p, active, lam, use_huber, cg_iters)
+            cam, p, active, lam, use_huber, cg_iters, axis)
         p_new = p._replace(Tcw=T_new, X=X_new)
         c2_new = chi2_of(p_new)
         act_f = active.astype(jnp.float32)
-        cost_new = _total_cost(c2_new, delta2, act_f, use_huber)
-        cost_old = _total_cost(c2_old, delta2, act_f, use_huber)
+        cost_new = _psum(_total_cost(c2_new, delta2, act_f, use_huber), axis)
+        cost_old = _psum(_total_cost(c2_old, delta2, act_f, use_huber), axis)
         accept = cost_new < cost_old
         p = jax.tree.map(
             lambda a, b: jnp.where(jnp.reshape(accept, (1,) * a.ndim), a, b),
@@ -317,7 +345,8 @@ def optimize(
     c2 = chi2_of(p)
     delta2 = jnp.where(p.obs_stereo, reproj.CHI2_STEREO, reproj.CHI2_MONO)
     inlier = problem.obs_active & (c2 <= delta2)
-    cost = _total_cost(c2, delta2, active.astype(jnp.float32), False)
+    cost = _psum(_total_cost(c2, delta2, active.astype(jnp.float32), False),
+                 axis)
     return BADenseResult(p.Tcw, p.X, inlier, cost)
 
 

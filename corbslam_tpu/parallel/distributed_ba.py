@@ -21,7 +21,7 @@ observation-parallel like data-parallel training.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -29,7 +29,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..geometry import camera as cam_mod
 from ..geometry import se3
-from ..optim import ba, reproj
+from ..optim import ba, ba_dense, reproj
 from ..optim.smallmat import chol_solve_factored, chol_unrolled, inv_spd_unrolled
 
 _PREC = jax.lax.Precision.HIGHEST
@@ -201,3 +201,93 @@ def distributed_ba(
     for _ in range(n_iters):
         Tcw, X = step(Tcw, X, pf, ptf, oc, op, uvr, isig, ost, ov, jnp.float32(lam))
     return Tcw, X
+
+
+# ---------------------------------------------------------------------------
+# Dense-plane distributed BA (the production GBA path, camera-sharded)
+# ---------------------------------------------------------------------------
+
+def pad_cameras_dense(p: ba_dense.BADense, multiple: int) -> ba_dense.BADense:
+    """Pad the camera axis so it divides the mesh; padding rows are fixed
+    and inactive."""
+    C = p.Tcw.shape[0]
+    pad = (-C) % multiple
+    if pad == 0:
+        return p
+    padT = jnp.tile(jnp.eye(4, dtype=p.Tcw.dtype), (pad, 1, 1))
+    z = lambda a, fill=0: jnp.concatenate(
+        [a, jnp.full((pad,) + a.shape[1:], fill, a.dtype)]
+    )
+    return p._replace(
+        Tcw=jnp.concatenate([p.Tcw, padT]),
+        pose_fixed=z(p.pose_fixed, True),
+        obs_mp=z(p.obs_mp),
+        obs_uvr=jnp.concatenate(
+            [p.obs_uvr, jnp.zeros((3, pad) + p.obs_uvr.shape[2:],
+                                  p.obs_uvr.dtype)], axis=1),
+        obs_inv_sigma2=z(p.obs_inv_sigma2),
+        obs_stereo=z(p.obs_stereo, False),
+        obs_active=z(p.obs_active, False),
+    )
+
+
+@lru_cache(maxsize=32)
+def make_dense_optimizer(cam: cam_mod.Intrinsics, mesh: Mesh,
+                         n_iters: int, cg_iters: int, huber_iters: int):
+    """Jitted shard_map program running ba_dense's FULL LM loop (accept/
+    reject included) with the camera dimension split over the mesh: each
+    chip linearizes its own keyframe rows; point-side Schur reductions and
+    CG scalars psum over ICI (the BASELINE.json "psum of Schur-reduced
+    camera blocks" north star, now on the production engine the server's
+    GlobalBARunner dispatches — ref analog GlobalOptimize.cpp:444)."""
+
+    def run(p: ba_dense.BADense) -> ba_dense.BADenseResult:
+        return ba_dense.optimize_core(
+            cam, p, n_iters, cg_iters, huber_iters, AXIS)
+
+    shard = P(AXIS)
+    rep = P()
+    in_specs = (ba_dense.BADense(
+        Tcw=shard, pose_fixed=shard, X=rep, point_fixed=rep,
+        obs_mp=shard, obs_uvr=P(None, AXIS), obs_inv_sigma2=shard,
+        obs_stereo=shard, obs_active=shard,
+    ),)
+    out_specs = ba_dense.BADenseResult(
+        Tcw=shard, X=rep, inlier=shard, cost=rep)
+    return jax.jit(jax.shard_map(
+        run, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_vma=False,
+    ))
+
+
+def optimize_dense(
+    cam: cam_mod.Intrinsics,
+    problem: ba_dense.BADense,
+    mesh: Mesh,
+    n_iters: int = 10,
+    cg_iters: int = 20,
+    huber_iters: int = 3,
+) -> ba_dense.BADenseResult:
+    """Distributed dense-plane BA: shard cameras over the mesh, run the
+    full LM loop, return a result with the padding stripped."""
+    C = problem.Tcw.shape[0]
+    n_dev = mesh.devices.size
+    padded = pad_cameras_dense(problem, n_dev)
+    opt = make_dense_optimizer(cam, mesh, n_iters, cg_iters, huber_iters)
+
+    shard = NamedSharding(mesh, P(AXIS))
+    rep = NamedSharding(mesh, P())
+    put = ba_dense.BADense(
+        Tcw=jax.device_put(padded.Tcw, shard),
+        pose_fixed=jax.device_put(padded.pose_fixed, shard),
+        X=jax.device_put(padded.X, rep),
+        point_fixed=jax.device_put(padded.point_fixed, rep),
+        obs_mp=jax.device_put(padded.obs_mp, shard),
+        obs_uvr=jax.device_put(padded.obs_uvr, NamedSharding(mesh, P(None, AXIS))),
+        obs_inv_sigma2=jax.device_put(padded.obs_inv_sigma2, shard),
+        obs_stereo=jax.device_put(padded.obs_stereo, shard),
+        obs_active=jax.device_put(padded.obs_active, shard),
+    )
+    res = opt(put)
+    return ba_dense.BADenseResult(
+        Tcw=res.Tcw[:C], X=res.X, inlier=res.inlier[:C], cost=res.cost)

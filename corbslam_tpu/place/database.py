@@ -41,6 +41,20 @@ class BowDatabase(NamedTuple):
             bow=self.bow.at[row].set(v), valid=self.valid.at[row].set(True)
         )
 
+    def add_batch(self, rows: jnp.ndarray, vs: jnp.ndarray,
+                  ok: jnp.ndarray | None = None) -> "BowDatabase":
+        """Vectorized insert of a row batch (one scatter instead of the
+        per-row Python loop the server fusion path used — VERDICT r2 #7).
+        `ok=False` lanes are dropped."""
+        N = self.bow.shape[0]
+        if ok is None:
+            ok = jnp.ones(rows.shape[0], bool)
+        tgt = jnp.where(ok, rows, N)
+        return BowDatabase(
+            bow=self.bow.at[tgt].set(vs, mode="drop"),
+            valid=self.valid.at[tgt].set(True, mode="drop"),
+        )
+
     def remove(self, kill: jnp.ndarray) -> "BowDatabase":
         return self._replace(valid=self.valid & ~kill)
 
@@ -124,3 +138,27 @@ def detect_map_fusion_candidates(
     relocalization-style query against another client's sub-map (no
     own-map covisibility to exclude)."""
     return detect_relocalization_candidates(db, m, query_bow, k)
+
+
+@jax.jit
+def detect_map_fusion_pairs(
+    db: BowDatabase,
+    db_kf_valid: jnp.ndarray,   # [N] global-map keyframe validity
+    bows: jnp.ndarray,          # [Q, W] whole-sub-map query block
+    q_ok: jnp.ndarray,          # [Q]
+):
+    """Batched inter-map candidate retrieval: score EVERY sub-map keyframe
+    against the whole global database in one program and return the top
+    (query, global-row) pairs by similarity — the O(few)-dispatch
+    replacement for the reference's per-keyframe scan
+    (MapFusion.cpp:488-521 iterates detectKeyFrameInServerMap per KF).
+
+    Returns (q_idx [K], rows [K], scores [K], ok [K]) sorted best-first;
+    K = 16. Callers geometrically verify the few best pairs only."""
+    K = 16
+    scores = vocab_mod.l1_scores_batch(bows, db.bow)        # [Q, N]
+    eligible = (db.valid & db_kf_valid)[None, :] & q_ok[:, None]
+    flat = jnp.where(eligible, scores, -jnp.inf).reshape(-1)
+    vals, idx = jax.lax.top_k(flat, K)
+    N = db.bow.shape[0]
+    return idx // N, idx % N, vals, jnp.isfinite(vals)

@@ -198,3 +198,13 @@ def l1_scores(query: jnp.ndarray, db: jnp.ndarray) -> jnp.ndarray:
     """DBoW2 L1 similarity of one query [W] against a database [N, W]:
     s = sum_i min(q_i, d_i) in [0, 1] for L1-normalized non-negative v."""
     return jnp.sum(jnp.minimum(query[None, :], db), axis=1)
+
+
+@jax.jit
+def l1_scores_batch(queries: jnp.ndarray, db: jnp.ndarray) -> jnp.ndarray:
+    """[Q, W] x [N, W] -> [Q, N] L1 similarities in one program (the fused
+    min-reduce; the server fusion path scores a whole sub-map per dispatch
+    instead of one keyframe at a time, MapFusion.cpp:488-521)."""
+    return jnp.sum(
+        jnp.minimum(queries[:, None, :], db[None, :, :]), axis=-1
+    )

@@ -91,3 +91,80 @@ class TestDistributedBA:
         )
         np.testing.assert_allclose(np.asarray(T1), np.asarray(T2), atol=1e-4)
         np.testing.assert_allclose(np.asarray(X1), np.asarray(X2), atol=5e-3)
+
+
+class TestDistributedDenseBA:
+    """The production distributed-GBA path: camera-sharded dense-plane LM
+    (parallel/distributed_ba.optimize_dense), the entry GlobalBARunner
+    dispatches when >1 device is visible."""
+
+    @pytest.fixture(scope="class")
+    def mesh(self):
+        devs = np.asarray(jax.devices())
+        assert len(devs) == 8, "conftest must force 8 CPU devices"
+        return Mesh(devs, (distributed_ba.AXIS,))
+
+    def _dense_problem(self, rng, n_cams=8, n_points=300):
+        from test_ba_dense import flat_to_dense
+
+        poses_true, X_true, prob = make_problem(rng, n_cams, n_points)
+        return poses_true, flat_to_dense(prob, Fb=n_points)
+
+    def test_single_device_mesh_is_exact(self, rng):
+        """On a 1-device mesh all psums are identity, so the sharded
+        program must reproduce the plain engine bit-for-nearly-bit — a
+        regression guard that the collectives are placed correctly (any
+        double/missing psum breaks this immediately)."""
+        from corbslam_tpu.optim import ba_dense
+
+        _, dense = self._dense_problem(rng)
+        mesh1 = Mesh(np.asarray(jax.devices())[:1], (distributed_ba.AXIS,))
+        res_s = distributed_ba.optimize_dense(
+            CAM, dense, mesh1, n_iters=6, cg_iters=30, huber_iters=2)
+        res_1 = ba_dense.optimize(
+            CAM, dense, n_iters=6, cg_iters=30, huber_iters=2)
+        np.testing.assert_allclose(
+            np.asarray(res_s.Tcw), np.asarray(res_1.Tcw), atol=1e-4)
+
+    def test_sharded_reaches_single_device_quality(self, mesh, rng):
+        """8-way sharding changes f32 reduction order, which CG amplifies
+        into different (equally valid) trajectories — so compare the
+        OPTIMA, not the iterates: final costs must agree closely."""
+        from corbslam_tpu.optim import ba_dense
+
+        _, dense = self._dense_problem(rng)
+        res_s = distributed_ba.optimize_dense(
+            CAM, dense, mesh, n_iters=12, cg_iters=40, huber_iters=3)
+        res_1 = ba_dense.optimize(
+            CAM, dense, n_iters=12, cg_iters=40, huber_iters=3)
+        c_s, c_1 = float(res_s.cost), float(res_1.cost)
+        assert c_s < c_1 * 1.3 + 1e-3, (c_s, c_1)
+
+    def test_sharded_converges_to_truth(self, mesh, rng):
+        poses_true, dense = self._dense_problem(rng)
+        res = distributed_ba.optimize_dense(
+            CAM, dense, mesh, n_iters=12, cg_iters=40, huber_iters=3)
+        for c in range(1, 8):
+            e = np.asarray(se3.log(se3.compose(
+                res.Tcw[c], se3.inverse(jnp.asarray(poses_true[c])))))
+            assert np.abs(e).max() < 0.01, (c, e)
+
+    def test_runner_uses_mesh_and_aborts(self, mesh, rng):
+        """GlobalBARunner with a mesh runs the sharded entry and still
+        honors the chunked-abort protocol (LoopClosing.cc:413-428)."""
+        import test_loop as tl
+        from corbslam_tpu.loop import gba as gba_mod
+
+        m, gt, est, kf_c, kf_q = tl.build_loop_map(rng, drift_per_kf=0.01)
+        runner = gba_mod.GlobalBARunner(
+            tl.CAM, tl.CFG, n_iters=4, synchronous=True, mesh=mesh)
+        runner.launch(m)
+        m2 = runner.try_merge(m)
+        assert runner.runs_finished == 1
+        assert bool(jnp.isfinite(m2.kf.Tcw).all())
+        assert m2 is not m
+        runner2 = gba_mod.GlobalBARunner(
+            tl.CAM, tl.CFG, n_iters=50, chunk=1, mesh=mesh)
+        runner2.launch(m)
+        runner2.abort()
+        assert not runner2.busy()
