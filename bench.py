@@ -123,7 +123,7 @@ def main():
         xi = jnp.asarray([-(i * 0.3), 0.0, -(i * 0.05), 0.0, i * 0.002, 0.0], jnp.float32)
         return se3.compose(tilt, se3.exp(xi))
 
-    n_warm, n_meas = 6, 30
+    n_warm, n_meas = 18, 30
     # Pre-render frames so rendering cost stays out of the measurement.
     frames = []
     for i in range(n_warm + n_meas):
@@ -131,28 +131,44 @@ def main():
         frames.append((np.asarray(l), np.asarray(r)))
 
     tracker = StereoTracker(cam, cfg)
-    for i in range(n_warm):
+    # Warmup covers compile AND first-execution effects: the axon relay adds
+    # multi-hundred-ms first-run cost per program (tools/profile_warm.py:
+    # rep 0 = 4.9 fps vs rep 2 = 6.8 fps with identical compiled code), so
+    # the warm phase must DRIVE the keyframe + mapping pipeline several
+    # times, not just compile it. Keyframes are forced early, then ~12 more
+    # frames run the natural policy before the timed window opens.
+    for i in range(6):
         tracker.process_stereo(jnp.asarray(frames[i][0]), jnp.asarray(frames[i][1]), i * 0.1)
-    # Warm the keyframe-insert + mapping programs (first KF on the measured
-    # clip would otherwise compile INSIDE the timed window): force a few
-    # keyframes through the full mapping pipeline, then keep their work in
-    # the map (it only adds realism — the measured frames track against it).
     for k in range(6):
         tracker._create_keyframe(tracker.last_frame, 0.05 * k, 120)
+    for i in range(6, n_warm):
+        tracker.process_stereo(jnp.asarray(frames[i][0]), jnp.asarray(frames[i][1]), i * 0.1)
+    tracker.flush()
     jax.block_until_ready(tracker.map.mp.pos)
 
+    lat = []
     t0 = time.time()
     for i in range(n_warm, n_warm + n_meas):
+        tf = time.time()
         tracker.process_stereo(jnp.asarray(frames[i][0]), jnp.asarray(frames[i][1]), i * 0.1)
+        lat.append(time.time() - tf)
+    tracker.flush()
     jax.block_until_ready(tracker.map.mp.pos)
     dt = time.time() - t0
 
     fps = n_meas / dt
+    lat_ms = np.asarray(lat) * 1e3
 
     # Side metrics (north stars beyond the flagship): GBA iterations/sec on
     # a full synthetic map. Written to BENCH_EXTRA.json + stderr so stdout
     # stays the single flagship JSON line the driver expects.
-    extra = {"kitti_stereo_tracking_fps_per_client": round(fps, 2)}
+    extra = {
+        "kitti_stereo_tracking_fps_per_client": round(fps, 2),
+        "frame_ms_p50": round(float(np.percentile(lat_ms, 50)), 1),
+        "frame_ms_p90": round(float(np.percentile(lat_ms, 90)), 1),
+        "frame_ms_max": round(float(lat_ms.max()), 1),
+        "keyframes_in_window": int(tracker.stats.n_keyframes),
+    }
     if not os.environ.get("BENCH_SKIP_GBA"):
         try:
             extra.update(bench_gba(cam, cfg))

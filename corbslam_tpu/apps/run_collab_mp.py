@@ -115,6 +115,18 @@ def run_server(args):
     stats["clients_seen"] = transport.clients
     with open(args.out, "w") as f:
         json.dump(stats, f)
+    if args.view_out:
+        # ServerMapView equivalent (ref: corbslam_server/src/
+        # ServerMapView.cpp:34 Pangolin global-map window): render the fused
+        # global map, per-client colored, as an offline artifact.
+        from .render_map import render_mapstate
+
+        try:
+            render_mapstate(server.gmap, args.view_out,
+                            title="server global map")
+            print(f"[server] global map view -> {args.view_out}")
+        except Exception as e:  # pragma: no cover - viz resilience
+            print(f"[server] map view failed: {e!r}")
     transport.close()
     print(f"[server] {stats}")
 
@@ -343,6 +355,8 @@ def main(argv=None):
     ap.add_argument("--stopfile", default="")
     ap.add_argument("--vocab", default="")
     ap.add_argument("--out", default="")
+    ap.add_argument("--view-out", default="",
+                    help="server: render the fused global map PNG on exit")
     ap.add_argument("--timeout", type=float, default=900.0)
     args = ap.parse_args(argv)
 

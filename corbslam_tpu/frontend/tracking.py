@@ -462,6 +462,18 @@ class StereoTracker:
                          fid: Optional[int] = None):
         if fid is None:
             fid = self.frame_id
+        # Capacity gate (SURVEY.md §5.7): the keyframe cursor is append-only,
+        # so a full table means no more keyframes — tracking continues
+        # against the existing map instead of silently corrupting row N-1
+        # (insert_keyframe drops OOB writes as the device-side backstop).
+        if int(self.map.n_kf) >= self.cfg.capacity.max_keyframes:
+            if not getattr(self, "_warned_kf_full", False):
+                self._warned_kf_full = True
+                import sys
+                print("[tracking] keyframe capacity reached "
+                      f"({self.cfg.capacity.max_keyframes}); no further "
+                      "keyframes will be created", file=sys.stderr)
+            return
         self.ref_obs = max(n_tracked, 100)
         self.map, kf_row, mp_idx = track_ops.insert_keyframe_with_points(
             self.cam, self.map, cur, fid, timestamp,

@@ -112,6 +112,7 @@ def merge_gba_result(
 
     writable = m.kf.valid & ~m.kf.fixed
     T_new = jnp.where(in_snap[:, None, None], Tcw_opt, T_prop)
+    T_new = se3.orthonormalize_fast(T_new)
     T_new = jnp.where(writable[:, None, None], T_new, T_old)
     kf = m.kf._replace(Tcw=T_new)
 

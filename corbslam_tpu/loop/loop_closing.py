@@ -336,6 +336,7 @@ def correct_window(
         .at[:, :3, :3].set(Rc)
         .at[:, :3, 3].set(tc / jnp.maximum(sc, 1e-9)[:, None])
     )
+    T_new = se3.orthonormalize_fast(T_new)
     kf = m.kf._replace(Tcw=jnp.where(window[:, None, None], T_new, m.kf.Tcw))
     return m._replace(kf=kf, mp=mp), window
 
@@ -369,6 +370,7 @@ def optimize_essential_graph(
         .at[:, :3, :3].set(R)
         .at[:, :3, 3].set(t / jnp.maximum(s, 1e-9)[:, None])
     )
+    T_new = se3.orthonormalize_fast(T_new)
     kf = m.kf._replace(Tcw=jnp.where(writable[:, None, None], T_new, m.kf.Tcw))
 
     anchor = jnp.clip(m.mp.ref_kf, 0)
@@ -418,6 +420,18 @@ class LoopCloserStats:
     n_sim3_attempts: int = 0
     n_loops_closed: int = 0
     last_loop: Optional[tuple] = None  # (kf_q, kf_c)
+    # Rolling log of Sim3 verification attempts for diagnosis:
+    # (kf_q, kf_c, n_bow, n_inliers, n_total, ok). Mirrors the counts the
+    # reference prints per ComputeSim3 (GlobalOptimize.cpp:147-211).
+    sim3_log: list = field(default_factory=list)
+
+    def log_sim3(self, kf_q, kf_c, sb, cap: int = 64):
+        self.sim3_log.append((
+            int(kf_q), int(kf_c), int(sb.n_bow), int(sb.n_inliers),
+            int(sb.n_total), bool(sb.ok),
+        ))
+        if len(self.sim3_log) > cap:
+            del self.sim3_log[: len(self.sim3_log) - cap]
 
 
 class LoopCloser:
@@ -451,6 +465,13 @@ class LoopCloser:
         self.last_loop_kf = -(10 ** 9)
         self.stats = LoopCloserStats()
         self.gba_runner = None
+        # Per-stage finiteness audit of CorrectLoop (host syncs per stage;
+        # loop closures are episodic, so the cost is negligible — enable in
+        # e2e harnesses to localize numerical blowups).
+        self.debug_checks = False
+        # Directory to dump CorrectLoop inputs (map snapshot + loop edges)
+        # for offline solver debugging; None disables.
+        self.dump_dir = None
         self._key = jax.random.PRNGKey(seed)
         if run_gba:
             from . import gba as gba_mod
@@ -496,6 +517,7 @@ class LoopCloser:
                 self.cam, m, kf_row, kf_c, self._next_key(), self.cfg,
                 fix_scale=self.fix_scale,
             )
+            self.stats.log_sim3(kf_row, kf_c, sb)
             if not bool(sb.ok):
                 continue
             m = self.close_loop(m, kf_row, kf_c, sb)
@@ -539,16 +561,32 @@ class LoopCloser:
 
         meas_Tcw = m.kf.Tcw  # pre-correction snapshot (NonCorrectedSim3)
         m, _window = correct_window(m, kf_q, kf_c, sb.R, sb.t, sb.s, self.cfg)
+        self._audit(m, "correct_window")
         m = fuse_loop_points(self.cam, m, kf_q, kf_c, self.cfg)
 
         slot = self.n_loops % MAX_LOOP_EDGES
         self.loops = self.loops.add(slot, kf_c, kf_q, sb.R, sb.t, sb.s)
         self.n_loops += 1
 
+        if getattr(self, "dump_dir", None) is not None:
+            import os
+            import pickle
+
+            import numpy as np
+
+            snap = jax.tree.map(np.asarray, {
+                "m": m, "loops": self.loops, "kf_q": kf_q, "kf_c": kf_c,
+                "meas_Tcw": meas_Tcw,
+            })
+            with open(os.path.join(
+                    self.dump_dir, f"loop_{self.n_loops}.pkl"), "wb") as f:
+                pickle.dump(snap, f)
+
         m, _costs = optimize_essential_graph(
             m, self.loops, kf_c, meas_Tcw, self.cfg,
             n_iters=self.cfg.loop.pose_graph_iters,
         )
+        self._audit(m, "essential_graph")
         self.last_loop_kf = kf_q
         self.stats.n_loops_closed += 1
         self.stats.last_loop = (kf_q, kf_c)
@@ -558,8 +596,26 @@ class LoopCloser:
             self.gba_runner.launch(m)
         return m
 
+    def _audit(self, m: ms.MapState, stage: str):
+        # getattr: harnesses may build partially-initialized LoopClosers.
+        if not getattr(self, "debug_checks", False):
+            return
+        import numpy as np
+
+        bad_kf = np.asarray(m.kf.valid) & ~np.isfinite(
+            np.asarray(m.kf.Tcw)).all(axis=(1, 2))
+        bad_mp = np.asarray(m.mp.valid) & ~np.isfinite(
+            np.asarray(m.mp.pos)).all(axis=1)
+        if bad_kf.any() or bad_mp.any():
+            print(f"[loop-audit] {stage}: {bad_kf.sum()} nonfinite KF poses "
+                  f"(rows {np.nonzero(bad_kf)[0][:8].tolist()}...), "
+                  f"{bad_mp.sum()} nonfinite MP", flush=True)
+
     # -- GBA result merge (called by the tracker between frames) ----------
     def try_merge_gba(self, m: ms.MapState) -> ms.MapState:
         if self.gba_runner is None:
             return m
-        return self.gba_runner.try_merge(m)
+        out = self.gba_runner.try_merge(m)
+        if out is not m:
+            self._audit(out, "gba_merge")
+        return out

@@ -145,26 +145,32 @@ def insert_keyframe(
     client: int = 0,
     fixed: bool = False,
 ):
-    """Insert one keyframe at the allocation cursor. Returns (map, kf_row)."""
+    """Insert one keyframe at the allocation cursor. Returns (map, kf_row).
+
+    At capacity the write is DROPPED (kf_row comes back == capacity and the
+    cursor stays put) rather than clamped onto the last row — the clamped
+    scatter silently overwrote the newest keyframe every frame once a long
+    run exhausted max_keyframes. Hosts gate creation beforehand
+    (tracking._create_keyframe); this is the device-side backstop."""
     i = m.n_kf
     kf = m.kf
     kf = kf._replace(
-        Tcw=kf.Tcw.at[i].set(Tcw),
-        valid=kf.valid.at[i].set(True),
-        fixed=kf.fixed.at[i].set(fixed),
-        client=kf.client.at[i].set(client),
-        frame_id=kf.frame_id.at[i].set(frame_id),
-        timestamp=kf.timestamp.at[i].set(timestamp),
-        xy=kf.xy.at[i].set(xy),
-        octave=kf.octave.at[i].set(octave),
-        angle=kf.angle.at[i].set(angle),
-        desc=kf.desc.at[i].set(desc),
-        uright=kf.uright.at[i].set(uright),
-        depth=kf.depth.at[i].set(depth),
-        fvalid=kf.fvalid.at[i].set(fvalid),
-        mp_idx=kf.mp_idx.at[i].set(mp_idx),
+        Tcw=kf.Tcw.at[i].set(Tcw, mode="drop"),
+        valid=kf.valid.at[i].set(True, mode="drop"),
+        fixed=kf.fixed.at[i].set(fixed, mode="drop"),
+        client=kf.client.at[i].set(client, mode="drop"),
+        frame_id=kf.frame_id.at[i].set(frame_id, mode="drop"),
+        timestamp=kf.timestamp.at[i].set(timestamp, mode="drop"),
+        xy=kf.xy.at[i].set(xy, mode="drop"),
+        octave=kf.octave.at[i].set(octave, mode="drop"),
+        angle=kf.angle.at[i].set(angle, mode="drop"),
+        desc=kf.desc.at[i].set(desc, mode="drop"),
+        uright=kf.uright.at[i].set(uright, mode="drop"),
+        depth=kf.depth.at[i].set(depth, mode="drop"),
+        fvalid=kf.fvalid.at[i].set(fvalid, mode="drop"),
+        mp_idx=kf.mp_idx.at[i].set(mp_idx, mode="drop"),
     )
-    return m._replace(kf=kf, n_kf=i + 1), i
+    return m._replace(kf=kf, n_kf=jnp.minimum(i + 1, m.kf.capacity)), i
 
 
 def add_map_points(
@@ -189,11 +195,16 @@ def add_map_points(
     """
     K = pos.shape[0]
     offs = jnp.cumsum(create.astype(jnp.int32)) - 1  # position among created
+    # Capacity guard: allocations past the fixed landmark budget are DROPPED
+    # (rows stay NO_MP, nothing is written) instead of clamping the scatter
+    # onto the last row — which silently corrupted that landmark and handed
+    # out out-of-range bindings once a long run exhausted max_map_points
+    # (SURVEY.md §5.7: fixed capacities + culling bound growth; overflow must
+    # degrade to "no new points", the reference's behavior when its allocator
+    # would fail, not to corruption).
+    create = create & (m.n_mp + offs < m.mp.capacity)
     rows = jnp.where(create, m.n_mp + offs, NO_MP)
     n_new = jnp.sum(create.astype(jnp.int32))
-    # Clamp rows for safe scatter; masked rows write to a scratch slot then
-    # get invalidated (capacity - 1 reserved as scratch is avoided by using
-    # mode="drop" semantics below).
     safe_rows = jnp.where(create, rows, m.mp.capacity - 1)
     wmask = create
 

@@ -347,7 +347,9 @@ def optimize_core(
     inlier = problem.obs_active & (c2 <= delta2)
     cost = _psum(_total_cost(c2, delta2, active.astype(jnp.float32), False),
                  axis)
-    return BADenseResult(p.Tcw, p.X, inlier, cost)
+    # Rotations re-enter the stored map: renormalize (se3.orthonormalize_fast
+    # docstring explains the exponential-compounding failure otherwise).
+    return BADenseResult(se3.orthonormalize_fast(p.Tcw), p.X, inlier, cost)
 
 
 # ---------------------------------------------------------------------------

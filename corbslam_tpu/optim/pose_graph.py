@@ -153,4 +153,11 @@ def optimize(g: PoseGraph, n_iters: int = 20, cg_iters: int = 50, lam: float = 1
         return (R, t, s), cost
 
     (R, t, s), costs = jax.lax.scan(gn_iter, (g.R, g.t, g.s), None, length=n_iters)
+    # Newton polar projection back onto SO(3) (see se3.orthonormalize_fast).
+    I = jnp.broadcast_to(jnp.eye(3, dtype=R.dtype), R.shape)
+    for _ in range(2):
+        R = 0.5 * jnp.matmul(
+            R, 3.0 * I - jnp.matmul(jnp.swapaxes(R, -1, -2), R,
+                                    precision=_PREC),
+            precision=_PREC)
     return (R, t, s), costs

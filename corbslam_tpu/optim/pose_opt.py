@@ -114,6 +114,10 @@ def optimize_pose(
     (T, inliers), costs = jax.lax.scan(
         lm_round, (T_init, valid), jnp.arange(n_rounds)
     )
+    # Renormalize the rotation before the pose re-enters the per-frame
+    # velocity/predict chain — see se3.orthonormalize_fast for why skipping
+    # this compounds f32 error exponentially across frames.
+    T = se3.orthonormalize_fast(T)
     return PoseOptResult(T, inliers, jnp.sum(inliers.astype(jnp.int32)), costs[-1])
 
 

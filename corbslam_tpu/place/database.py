@@ -66,6 +66,7 @@ def detect_loop_candidates(
     query_bow: jnp.ndarray,
     k: int = 8,
     min_covis_weight: int = 15,
+    min_row_gap: int = 12,
 ):
     """Loop candidates for a keyframe — DetectLoopCandidates
     (KeyFrameDatabase.cc:73). Scored against all keyframes except the
@@ -84,6 +85,20 @@ def detect_loop_candidates(
     neighbor = jnp.zeros(N, bool).at[
         jnp.where(w_q >= min_covis_weight, cand_q, N)
     ].set(True, mode="drop")
+    # Same-client keyframes within `min_row_gap` rows of the query are
+    # treated as connected regardless of measured weight: rows allocate in
+    # time order per client, so these ARE the covisible window even when
+    # local-BA outlier detachment / point churn thins the measured
+    # shared-point count below min_covis_weight — without this a keyframe
+    # can "close a loop" against its immediate predecessor (the reference's
+    # connected-set exclusion covers this because its covisibility is
+    # maintained incrementally, KeyFrameDatabase.cc:78-85).
+    rows = jnp.arange(N, dtype=jnp.int32)
+    recent_same = (
+        (m.kf.client == m.kf.client[query_row])
+        & (jnp.abs(rows - query_row) < min_row_gap)
+    )
+    neighbor |= recent_same
     neighbor &= m.kf.valid
     neighbor_or_self = neighbor.at[query_row].set(True)
     # minScore over connected keyframes

@@ -194,6 +194,15 @@ def transform(
 transform_batch = jax.vmap(transform, in_axes=(None, 0, 0))
 
 
+def transform_many(voc: Vocabulary, desc: jnp.ndarray, valid: jnp.ndarray):
+    """[B, F, 32] -> [B, W] BoW vectors with bounded memory: sequential
+    lax.map over frames instead of one vmapped [B, F, W] distance tensor —
+    required at DBoW2-scale vocabularies (W = 32k words x B frames of F
+    features OOMs HBM under transform_batch; the tree the reference uses
+    exists to bound this same product on CPU, TemplatedVocabulary.h)."""
+    return jax.lax.map(lambda dv: transform(voc, dv[0], dv[1]), (desc, valid))
+
+
 def l1_scores(query: jnp.ndarray, db: jnp.ndarray) -> jnp.ndarray:
     """DBoW2 L1 similarity of one query [W] against a database [N, W]:
     s = sum_i min(q_i, d_i) in [0, 1] for L1-normalized non-negative v."""

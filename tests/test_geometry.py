@@ -198,3 +198,37 @@ class TestCamera:
             cam, Tcw, p, jnp.full(3, 0.1), jnp.full(3, 100.0), normal
         )
         assert bool(ok[0]) and not bool(ok[1]) and not bool(ok[2])
+
+
+class TestOrthonormalizeFast:
+    def test_projects_back_to_so3(self, rng):
+        R = random_rotations(rng, 16)
+        E = rng.normal(size=(16, 3, 3)).astype(np.float32) * 0.02
+        T = np.tile(np.eye(4, dtype=np.float32), (16, 1, 1))
+        T[:, :3, :3] = R + E
+        T[:, :3, 3] = rng.normal(size=(16, 3))
+        out = np.asarray(se3.orthonormalize_fast(jnp.asarray(T)))
+        Ro = out[:, :3, :3]
+        err = np.abs(Ro @ np.swapaxes(Ro, 1, 2) - np.eye(3)).max()
+        assert err < 1e-5
+        # translation untouched, rotation close to the perturbed input
+        np.testing.assert_allclose(out[:, :3, 3], T[:, :3, 3], rtol=1e-6)
+        assert np.abs(Ro - R).max() < 0.1
+
+    def test_velocity_chain_stays_orthonormal(self, rng):
+        """Regression: the per-frame velocity/predict chain
+        (T_cur ∘ T_prev^-1 ∘ T_prev …) DOUBLES symmetric rotation error per
+        round trip; without renormalization f32 rounding compounded ~2.5x
+        per frame and destroyed stored keyframe rotations within ~150
+        frames (found by tools/loop_e2e.py, round 3)."""
+        T = jnp.asarray(np.eye(4, dtype=np.float32))
+        prev = T
+        vel = jnp.eye(4)
+        step = se3.exp(jnp.asarray([0.1, 0.01, -0.05, 0.002, 0.035, 0.001]))
+        for _ in range(120):
+            pred = se3.compose(vel, prev)
+            cur = se3.orthonormalize_fast(se3.compose(step, pred))
+            vel = se3.compose(cur, se3.inverse(prev))
+            prev = cur
+        R = np.asarray(prev)[:3, :3]
+        assert np.abs(R @ R.T - np.eye(3)).max() < 1e-5

@@ -1,0 +1,149 @@
+"""Vocabulary quality at scale: loop-detection retrieval precision/recall on
+a synthetic revisit sequence, across vocabulary sizes.
+
+The reference rides on a k=10/L=6 DBoW2 tree (~1M leaf words,
+Thirdparty/DBoW2/DBoW2/TemplatedVocabulary.h); our flat vocabulary defaults
+to 4096 words. This measures what that choice costs: two laps around the
+room world, lap-1 keyframes form the database, lap-2 frames query it, and a
+query is CORRECT when a retrieved keyframe is within an angular window of
+the query's orbit angle (ground truth from the generator).
+
+Run: python -u tools/vocab_quality.py [--cpu]
+Prints one JSON line per vocabulary size + writes VOCAB_QUALITY.json.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--n-per-lap", type=int, default=72)
+    ap.add_argument("--sizes", type=int, nargs="+",
+                    default=[1024, 4096, 32768])
+    ap.add_argument("--tol-deg", type=float, default=12.0)
+    args = ap.parse_args()
+
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    import jax.numpy as jnp
+
+    from corbslam_tpu.config import CapacityConfig, OrbConfig, SlamConfig
+    from corbslam_tpu.frontend import frame as frame_mod
+    from corbslam_tpu.geometry import camera, se3
+    from corbslam_tpu.io import synthetic
+    from corbslam_tpu.place import vocab as vocab_mod
+
+    cam = camera.Intrinsics.create(
+        fx=320.0, fy=320.0, cx=160.0, cy=120.0, bf=160.0,
+        width=320, height=240,
+    )
+    cfg = SlamConfig(orb=OrbConfig(n_features=512, n_levels=4, cell_size=12))
+    world = synthetic.MultiPlaneWorld.room(
+        cam, half=14.0, height=3.0, noise_std=3.0, seed=2)
+
+    n = args.n_per_lap
+    step = 2 * np.pi / n
+
+    def pose(th, radius=5.0):
+        Twc = se3.compose(
+            se3.exp(jnp.asarray([0, 0, 0, 0.0, th, 0.0], jnp.float32)),
+            se3.from_Rt(jnp.eye(3), jnp.asarray([0.0, 0.0, -radius])),
+        )
+        return se3.inverse(Twc)
+
+    # Lap 1 = database; lap 2 = queries at half-step offset angles with
+    # fresh photometric noise (a genuine revisit, not the same image).
+    print(f"rendering 2x{n} frames ...", flush=True)
+    db_desc, db_valid, db_th = [], [], []
+    q_desc, q_valid, q_th = [], [], []
+    for i in range(n):
+        th = step * i
+        img, _ = world.render_stereo(pose(th), frame=i)
+        f = frame_mod.build_frame_mono(img, cam, cfg.orb)
+        db_desc.append(np.asarray(f.desc))
+        db_valid.append(np.asarray(f.fvalid))
+        db_th.append(th)
+        th_q = th + 0.5 * step
+        img2, _ = world.render_stereo(pose(th_q), frame=1000 + i)
+        f2 = frame_mod.build_frame_mono(img2, cam, cfg.orb)
+        q_desc.append(np.asarray(f2.desc))
+        q_valid.append(np.asarray(f2.fvalid))
+        q_th.append(th_q)
+    db_desc = np.stack(db_desc)
+    db_valid = np.stack(db_valid)
+    q_desc = np.stack(q_desc)
+    q_valid = np.stack(q_valid)
+    train_corpus = db_desc[db_valid]
+    print(f"training corpus: {train_corpus.shape[0]} descriptors", flush=True)
+
+    tol = np.deg2rad(args.tol_deg)
+
+    def ang_dist(a, b):
+        d = np.abs(np.asarray(a)[:, None] - np.asarray(b)[None, :]) % (2 * np.pi)
+        return np.minimum(d, 2 * np.pi - d)
+
+    gt_near = ang_dist(q_th, db_th) <= tol          # [Q, N] correct pairs
+
+    results = {}
+    for W in args.sizes:
+        t0 = time.time()
+        if W <= 8192:
+            voc = vocab_mod.train(jnp.asarray(train_corpus), n_words=W,
+                                  n_iters=8)
+        else:
+            voc = vocab_mod.train_chunked(train_corpus, n_words=W,
+                                          n_iters=8, chunk=16384)
+        t_train = time.time() - t0
+
+        db_bow = vocab_mod.transform_many(
+            voc, jnp.asarray(db_desc), jnp.asarray(db_valid))
+        q_bow = vocab_mod.transform_many(
+            voc, jnp.asarray(q_desc), jnp.asarray(q_valid))
+        # Score one query per dispatch: the fused [Q, N, W] broadcast of
+        # l1_scores_batch is fine at server word counts but OOMs at 32k.
+        scores = np.stack([
+            np.asarray(vocab_mod.l1_scores(q_bow[i], db_bow))
+            for i in range(n)
+        ])  # [Q, N]
+
+        order = np.argsort(-scores, axis=1)
+        r1 = gt_near[np.arange(n)[:, None], order[:, :1]].any(1).mean()
+        r5 = gt_near[np.arange(n)[:, None], order[:, :5]].any(1).mean()
+        # Separation margin: mean score gap between the best CORRECT match
+        # and the best WRONG match (the discriminability the 0.75*best cut
+        # and minScore floor of KeyFrameDatabase.cc:170 depend on).
+        best_good = np.max(np.where(gt_near, scores, -np.inf), axis=1)
+        best_bad = np.max(np.where(~gt_near, scores, -np.inf), axis=1)
+        margin = float(np.mean(best_good - best_bad))
+        res = {
+            "n_words": W,
+            "recall_at_1": round(float(r1), 4),
+            "recall_at_5": round(float(r5), 4),
+            "margin_good_vs_bad": round(margin, 4),
+            "train_wall_s": round(t_train, 1),
+        }
+        results[str(W)] = res
+        print(json.dumps(res), flush=True)
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(here, "VOCAB_QUALITY.json"), "w") as f:
+        json.dump(results, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
