@@ -178,10 +178,20 @@ class GlobalBARunner:
         self.abort()
         self._abort.clear()
         self.runs_started += 1
+        # Materialize the snapshot NOW, on the caller's thread: the problem
+        # build dispatches against the map's CURRENT buffers and returns
+        # fresh arrays, and the cursors become host ints. The tracker's
+        # per-frame program donates the map pytree (track_ops donate_argnums)
+        # — donation deletes those buffers regardless of other Python refs,
+        # so a worker thread holding `m` races "Array has been deleted".
+        prob = build_global_problem_dense(m, self.cfg)
+        jax.block_until_ready(prob.obs_active)
+        snap = (prob, int(m.n_kf), int(m.n_mp))
         if self.synchronous:
-            self._run(m)
+            self._run(snap)
         else:
-            self._thread = threading.Thread(target=self._run, args=(m,), daemon=True)
+            self._thread = threading.Thread(
+                target=self._run, args=(snap,), daemon=True)
             self._thread.start()
 
     def abort(self):
@@ -201,9 +211,8 @@ class GlobalBARunner:
             self._thread.join()
 
     # ------------------------------------------------------------------
-    def _run(self, m: ms.MapState):
-        prob = build_global_problem_dense(m, self.cfg)
-        n_kf_snap, n_mp_snap = m.n_kf, m.n_mp
+    def _run(self, snap):
+        prob, n_kf_snap, n_mp_snap = snap
         done = 0
         first = True
         while done < self.n_iters:
@@ -239,4 +248,6 @@ class GlobalBARunner:
         if result is None:
             return m
         Tcw, X, n_kf_snap, n_mp_snap = result
-        return merge_gba_result(m, Tcw, X, n_kf_snap, n_mp_snap)
+        # int -> device scalar so the jitted merge compiles once, not per value.
+        return merge_gba_result(m, Tcw, X, jnp.int32(n_kf_snap),
+                                jnp.int32(n_mp_snap))

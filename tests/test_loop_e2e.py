@@ -1,0 +1,123 @@
+"""End-to-end loop closure: a full closed orbit in the room world driven
+through CorbslamClient with detection, Sim3 verification, CorrectLoop,
+essential graph, and synchronous GBA — the reference's KITTI-00 manual
+loop validation (ref: corbslam_client/src/LoopClosing.cc:404 CorrectLoop;
+SURVEY.md §4 dataset-driven validation), hermetic on a synthetic world.
+
+This is the slowest test in the suite (~150 tracked frames); it is also
+the only one that exercises the whole stack at once, and it is what caught
+the exponential pose-denormalization bug (se3.orthonormalize_fast) and the
+capacity-overflow corruption in round 3.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from corbslam_tpu import system as system_mod
+from corbslam_tpu.config import (
+    CapacityConfig, MappingConfig, OrbConfig, SlamConfig, TrackingConfig,
+)
+from corbslam_tpu.frontend import frame as frame_mod
+from corbslam_tpu.frontend.tracking import TrackState
+from corbslam_tpu.geometry import camera, se3
+from corbslam_tpu.io import synthetic, trajectory
+from corbslam_tpu.place import vocab as vocab_mod
+
+CAM = camera.Intrinsics.create(
+    fx=320.0, fy=320.0, cx=160.0, cy=120.0, bf=320.0 * 0.5,
+    width=320, height=240,
+)
+
+CFG = SlamConfig(
+    orb=OrbConfig(n_features=512, n_levels=4, cell_size=12),
+    tracking=TrackingConfig(th_depth=40.0, max_frames_between_kf=10),
+    mapping=MappingConfig(local_ba_window=8, local_ba_iters=6),
+    capacity=CapacityConfig(
+        max_keyframes=256, max_map_points=32768, max_features=512,
+        local_window_kfs=8, local_window_mps=2048,
+    ),
+)
+
+STEP, RADIUS = 0.05, 6.0
+N_FRAMES = int(np.ceil(2 * np.pi / STEP)) + 25  # one lap + revisit overlap
+
+
+def orbit_pose(i):
+    th = STEP * i
+    Twc = se3.compose(
+        se3.exp(jnp.asarray([0, 0, 0, 0.0, th, 0.0], jnp.float32)),
+        se3.from_Rt(jnp.eye(3), jnp.asarray([0.0, 0.0, -RADIUS])),
+    )
+    return se3.inverse(Twc)
+
+
+@pytest.fixture(scope="module")
+def run():
+    world = synthetic.MultiPlaneWorld.room(
+        CAM, half=14.0, height=3.0, noise_std=3.0, seed=2)
+    gt = [orbit_pose(i) for i in range(N_FRAMES)]
+
+    descs = []
+    for i in (0, N_FRAMES // 3, 2 * N_FRAMES // 3):
+        img, _ = world.render_stereo(gt[i], frame=i)
+        f = frame_mod.build_frame_mono(img, CAM, CFG.orb)
+        descs.append(np.asarray(f.desc)[np.asarray(f.fvalid)])
+    voc = vocab_mod.train(jnp.asarray(np.concatenate(descs)),
+                          n_words=1024, n_iters=6)
+
+    c = system_mod.CorbslamClient(
+        CAM, CFG, sensor="stereo", client_id=1, voc=voc,
+        enable_loop_closing=True, run_gba=True,
+    )
+    c.loop_closer.gba_runner.synchronous = True
+    for i in range(N_FRAMES):
+        l, r = world.render_stereo(gt[i], frame=i)
+        c.track_stereo(l, r, timestamp=i * 0.1)
+    c.shutdown()
+    return c, gt
+
+
+class TestLoopClosureEndToEnd:
+    def test_loop_fires_between_distant_keyframes(self, run):
+        c, _ = run
+        st = c.loop_closer.stats
+        assert st.n_loops_closed >= 1
+        kf_q, kf_c = st.last_loop
+        assert abs(kf_q - kf_c) > 20  # a revisit, not a neighbor
+
+    def test_tracking_never_lost(self, run):
+        c, _ = run
+        assert all(s == TrackState.OK for s in c.tracker.frame_states[2:])
+
+    def test_poses_stay_finite(self, run):
+        """Regression for the round-3 NaN cascade (pose denormalization +
+        pose-graph divergence)."""
+        c, _ = run
+        m = c.tracker.map
+        valid = np.asarray(m.kf.valid)
+        Tcw = np.asarray(m.kf.Tcw)[valid]
+        assert np.isfinite(Tcw).all()
+        R = Tcw[:, :3, :3]
+        ortho = np.abs(R @ np.swapaxes(R, 1, 2) - np.eye(3)).max()
+        assert ortho < 1e-3, ortho
+
+    def test_post_loop_ate_improves(self, run):
+        """Keyframe poses after CorrectLoop + essential graph + GBA beat the
+        raw (drifted) frame trajectory."""
+        c, gt = run
+        gtw = np.asarray([np.asarray(se3.inverse(T)) for T in gt])
+        est = np.asarray([np.asarray(se3.inverse(jnp.asarray(T)))
+                          for _, T in c.tracker.trajectory])
+        ate_frames = trajectory.ate_rmse(est, gtw, align=True)
+
+        m = c.tracker.map
+        valid = np.asarray(m.kf.valid)
+        fid = np.asarray(m.kf.frame_id)[valid]
+        kf_Tcw = np.asarray(m.kf.Tcw)[valid]
+        sel = fid < len(gtw)
+        est_kf = np.asarray([np.asarray(se3.inverse(jnp.asarray(T)))
+                             for T in kf_Tcw[sel]])
+        ate_kf = trajectory.ate_rmse(est_kf, gtw[fid[sel]], align=True)
+        assert ate_kf < ate_frames
+        assert ate_kf < 0.12, (ate_kf, ate_frames)
