@@ -73,15 +73,24 @@ def run_server(args):
     import numpy as np
 
     from ..collab.server import MapFusionServer
-    from ..collab.socket_transport import SocketServerTransport
     from ..place.vocab import Vocabulary
 
     v = np.load(args.vocab)
     voc = Vocabulary(word_bits=v["word_bits"], idf=v["idf"])
     cam, cfg = _camera(), _build_cfg()
 
-    transport = SocketServerTransport()
-    port = transport.start()
+    if args.transport == "shm":
+        # Native shared-memory rings (collab/shm_transport.py) — the
+        # same-host lane; the portfile carries the session dir.
+        from ..collab.shm_transport import ShmServerTransport
+
+        transport = ShmServerTransport()
+        port = transport.start()
+    else:
+        from ..collab.socket_transport import SocketServerTransport
+
+        transport = SocketServerTransport()
+        port = transport.start()
     with open(args.portfile + ".tmp", "w") as f:
         f.write(str(port))
     os.rename(args.portfile + ".tmp", args.portfile)
@@ -138,7 +147,6 @@ def run_client(args):
     import numpy as np
 
     from .. import system as system_mod
-    from ..collab.socket_transport import SocketClientTransport
     from ..geometry import se3
     from ..place.vocab import Vocabulary
 
@@ -156,7 +164,14 @@ def run_client(args):
         )
         return se3.compose(tilt, se3.exp(xi))
 
-    transport = SocketClientTransport(args.client_id, port=args.port)
+    if args.transport == "shm":
+        from ..collab.shm_transport import ShmClientTransport
+
+        transport = ShmClientTransport(args.client_id, args.session)
+    else:
+        from ..collab.socket_transport import SocketClientTransport
+
+        transport = SocketClientTransport(args.client_id, port=args.port)
     c = system_mod.CorbslamClient(
         cam, cfg, sensor="stereo", client_id=args.client_id, voc=voc,
         transport=transport, enable_loop_closing=False,
@@ -178,9 +193,9 @@ def run_client(args):
     for name in ("uplink_step", "downlink_step"):
         orig = getattr(c.cache, name)
 
-        def timed(orig=orig, key=name.split("_")[0]):
+        def timed(*a, orig=orig, key=name.split("_")[0], **k):
             s = time.perf_counter()
-            r = orig()
+            r = orig(*a, **k)
             phase[key] += time.perf_counter() - s
             return r
 
@@ -235,7 +250,8 @@ def _spawn(role, extra, env=None, cpu: int = -1):
     return subprocess.Popen(cmd, env=e)
 
 
-def _run_fleet(n_clients, frames, tmp, gba=False, tag="", pin=False):
+def _run_fleet(n_clients, frames, tmp, gba=False, tag="", pin=False,
+               transport="tcp"):
     """Spawn 1 server + n clients; return (server_stats, [client_stats])."""
     portfile = os.path.join(tmp, f"port{tag}")
     stopfile = os.path.join(tmp, f"stop{tag}")
@@ -246,23 +262,25 @@ def _run_fleet(n_clients, frames, tmp, gba=False, tag="", pin=False):
     # and N-client runs give the server equal resources.
     srv = _spawn("server", [
         "--portfile", portfile, "--stopfile", stopfile, "--vocab", vocab,
-        "--out", sout, "--timeout", "900",
+        "--out", sout, "--timeout", "900", "--transport", transport,
     ] + (["--gba"] if gba else []), cpu=(ncpu - 1) if pin else -1)
     t0 = time.time()
     while not os.path.exists(portfile):
         if time.time() - t0 > 120 or srv.poll() is not None:
             raise RuntimeError("server failed to start")
         time.sleep(0.05)
-    port = int(open(portfile).read())
+    port = open(portfile).read().strip()  # tcp port or shm session dir
 
     procs, outs = [], []
     for k in range(n_clients):
         cout = os.path.join(tmp, f"client{tag}_{k + 1}.json")
         outs.append(cout)
+        addr = (["--session", port] if transport == "shm"
+                else ["--port", port])
         procs.append(_spawn("client", [
-            "--client-id", str(k + 1), "--port", str(port),
+            "--client-id", str(k + 1), "--transport", transport,
             "--frames", str(frames), "--vocab", vocab, "--out", cout,
-        ], cpu=(k % ncpu) if pin else -1))
+        ] + addr, cpu=(k % ncpu) if pin else -1))
     for p in procs:
         if p.wait() != 0:
             raise RuntimeError("client process failed")
@@ -296,7 +314,7 @@ def run_driver(args):
 
     pin = args.pin or (os.cpu_count() or 1) < args.clients + 1
     ss, cs = _run_fleet(args.clients, args.frames, tmp, gba=args.gba,
-                        tag="N", pin=pin)
+                        tag="N", pin=pin, transport=args.transport)
     agg_fps = sum(c["fps"] for c in cs)
     print(f"[driver] N={args.clients}: fusions={ss['fusions']} "
           f"global={ss['global_kfs']}KF/{ss['global_mps']}MP "
@@ -311,7 +329,7 @@ def run_driver(args):
               "aggregate_fps": agg_fps, "host_cpus": ncpu, "pinned": pin}
     if args.scaling:
         s1, c1 = _run_fleet(1, args.frames, tmp, gba=args.gba, tag="1",
-                            pin=pin)
+                            pin=pin, transport=args.transport)
         base = c1[0]["fps"]
         # Raw per-client efficiency assumes the host has >= N client-sized
         # compute slots. When it does not (this container: 2 cores), the
@@ -350,7 +368,10 @@ def main(argv=None):
     ap.add_argument("--workdir", default="")
     # server/client plumbing
     ap.add_argument("--client-id", type=int, default=1)
+    ap.add_argument("--transport", default="tcp", choices=["tcp", "shm"])
     ap.add_argument("--port", type=int, default=0)
+    ap.add_argument("--session", default="",
+                    help="shm transport session dir (from the portfile)")
     ap.add_argument("--portfile", default="")
     ap.add_argument("--stopfile", default="")
     ap.add_argument("--vocab", default="")

@@ -22,8 +22,11 @@ equivalent).
 
 from __future__ import annotations
 
+import queue
+import threading
 from typing import Dict, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -119,15 +122,71 @@ class ClientCache:
             "mp_pos_pushed": 0, "failed_calls": 0,
             "foreign_kfs": 0, "foreign_mps": 0,
         }
+        # Serializes uplink (worker thread) against downlink (main thread):
+        # both touch the id maps and sync cursors.
+        self._lock = threading.Lock()
+        self._uq: Optional[queue.Queue] = None
+        self._uplink_thread: Optional[threading.Thread] = None
         transport.register_client(cid)
+
+    # ------------------------------------------------------------------
+    # Async uplink (the reference's dedicated uplink thread,
+    # Cache.cc:322 runUpdateToServer): tracking must not block on the
+    # server's ACK — during fusion the server serves no calls for seconds,
+    # and a synchronous push stalls the whole frame loop (measured 33% of
+    # client wall time in the r3 scaling run). The main thread snapshots
+    # the map to host memory (donation-safe: the tracker donates device
+    # buffers every frame) and a worker pushes + retries.
+    # ------------------------------------------------------------------
+
+    def start_async_uplink(self):
+        if self._uq is not None:
+            return
+        self._uq = queue.Queue(maxsize=1)
+        self._uplink_thread = threading.Thread(
+            target=self._uplink_worker, daemon=True)
+        self._uplink_thread.start()
+
+    def request_uplink(self) -> bool:
+        """Queue one uplink cycle against a host snapshot of the current
+        map; skipped (False) while the previous cycle is still in flight —
+        cursors only advance on ACK, so nothing is lost."""
+        if self._uq is None:
+            return self.uplink_step()
+        if self._uq.full():
+            return False
+        snap = jax.tree.map(np.asarray, self.tracker.map)
+        self._uq.put(snap)
+        return True
+
+    def _uplink_worker(self):
+        while True:
+            snap = self._uq.get()
+            if snap is None:
+                return
+            try:
+                self.uplink_step(snap)
+            except Exception:  # pragma: no cover - keep the worker alive
+                import traceback
+
+                traceback.print_exc()
+
+    def stop_async_uplink(self):
+        if self._uq is None:
+            return
+        self._uq.put(None)
+        self._uplink_thread.join(timeout=30)
+        self._uq = None
+        self._uplink_thread = None
 
     # ------------------------------------------------------------------
     # Uplink (runUpdateToServer, Cache.cc:322)
     # ------------------------------------------------------------------
 
-    def uplink_step(self) -> bool:
+    def uplink_step(self, m: Optional[ms.MapState] = None) -> bool:
         """One sync cycle: push new map points, new keyframes, then pose /
         position deltas. Returns True if everything was acknowledged.
+        `m` may be a host-side numpy snapshot (async worker path).
 
         Map points MUST be acked before the keyframes that observe them go
         out: kf_insert_msg encodes observations as mp gids via
@@ -136,14 +195,16 @@ class ClientCache:
         and the server (which then marks the KF gid known) would never
         re-receive the bindings — so a failed MP push aborts the cycle and
         the whole batch retries next period."""
-        m = self.tracker.map
-        if not self._push_new_mps(m):
-            return False
-        if not self._push_new_kfs(m):
-            return False
-        ok = self._push_pose_deltas(m)
-        ok &= self._push_pos_deltas(m)
-        return ok
+        if m is None:
+            m = self.tracker.map
+        with self._lock:
+            if not self._push_new_mps(m):
+                return False
+            if not self._push_new_kfs(m):
+                return False
+            ok = self._push_pose_deltas(m)
+            ok &= self._push_pos_deltas(m)
+            return ok
 
     def _own_new_rows(self, client_arr, valid_arr, lo: int, hi: int, fixed_arr):
         rows = np.arange(lo, hi, dtype=np.int64)
@@ -270,14 +331,15 @@ class ClientCache:
 
     def downlink_step(self):
         """Drain all four topics and apply them to the local map."""
-        for msg in self.transport.poll(wire.TOPIC_NEW_MPS, self.cid):
-            self._apply_new_mps(msg)
-        for msg in self.transport.poll(wire.TOPIC_NEW_KFS, self.cid):
-            self._apply_new_kfs(msg)
-        for msg in self.transport.poll(wire.TOPIC_UPD_KFS, self.cid):
-            self._apply_kf_poses(msg)
-        for msg in self.transport.poll(wire.TOPIC_UPD_MPS, self.cid):
-            self._apply_mp_pos(msg)
+        with self._lock:
+            for msg in self.transport.poll(wire.TOPIC_NEW_MPS, self.cid):
+                self._apply_new_mps(msg)
+            for msg in self.transport.poll(wire.TOPIC_NEW_KFS, self.cid):
+                self._apply_new_kfs(msg)
+            for msg in self.transport.poll(wire.TOPIC_UPD_KFS, self.cid):
+                self._apply_kf_poses(msg)
+            for msg in self.transport.poll(wire.TOPIC_UPD_MPS, self.cid):
+                self._apply_mp_pos(msg)
 
     def _own_transform_inv(self, msg):
         tr = wire.transm_lookup(msg, self.cid)

@@ -72,6 +72,7 @@ class CorbslamClient:
                 self.tracker, transport, client_id, cfg,
                 loop_closer=self.loop_closer,
             )
+            self.cache.start_async_uplink()
         # Sync cadence in frames (the reference syncs on wall-clock: 6 s
         # uplink Cache.cc:370, 2 s downlink poll; at the 10 fps replay rate
         # that is 60 / 20 frames).
@@ -107,7 +108,10 @@ class CorbslamClient:
             if n % self.downlink_every == 0:
                 self.cache.downlink_step()
             if n % self.uplink_every == 0:
-                self.cache.uplink_step()
+                # Async: snapshot + hand to the uplink worker (the
+                # reference's runUpdateToServer thread, Cache.cc:322) —
+                # tracking must not block on the server's fusion-busy ACK.
+                self.cache.request_uplink()
         if self._metrics is not None:
             rec = {
                 "t": timestamp,
@@ -128,6 +132,7 @@ class CorbslamClient:
         """Flush sync + stop background optimization (System::Shutdown)."""
         self.tracker.flush()  # retire the in-flight pipelined frame
         if self.cache is not None:
+            self.cache.stop_async_uplink()  # drain worker, then final push
             self.cache.uplink_step()
             self.cache.downlink_step()
         if self.loop_closer is not None and self.loop_closer.gba_runner:
