@@ -76,6 +76,14 @@ class StereoTracker:
         self._frame_states: list = []  # TrackState per processed frame
         self.stats = TrackerStats()
         self.mapping_queue_enabled = True
+        # Row compaction (SURVEY.md §5.7 eviction): when the append-only
+        # keyframe cursor nears capacity, repack valid rows to the front
+        # and remap host references. Disabled under collaboration (the
+        # client cache's gid<->row maps would need remapping too; collab
+        # runs use capacities sized for their sequence length).
+        self.compaction_enabled = True
+        self._kf_cursor_est = 0  # host estimate of the device cursor
+        self._compact_cooldown = 0  # frame id gate after a fruitless repack
         self.sensor = "stereo"
         self._init_ref = None  # mono two-view init reference frame
         self._reloc_key = jax.random.PRNGKey(client + 17)
@@ -145,6 +153,12 @@ class StereoTracker:
     # overlap (SURVEY.md §2.4 P1).
     # ------------------------------------------------------------------
     def _dispatch_fused(self, sensor: str, images, timestamp: float):
+        if (self.compaction_enabled
+                and self.frame_id >= self._compact_cooldown
+                and self._kf_cursor_est
+                >= int(0.85 * self.cfg.capacity.max_keyframes)):
+            self.flush()
+            self._compact_map()
         if self.loop_closer is not None:
             self.map = self.loop_closer.try_merge_gba(self.map)
 
@@ -307,6 +321,7 @@ class StereoTracker:
         self.last_kf_frame_id = self.frame_id
         self._finish_frame(cur, timestamp)
         self.stats.n_keyframes += 1
+        self._kf_cursor_est += 1
         return True
 
     def _initialize_mono(self, cur: frame_mod.FrameData, timestamp: float):
@@ -391,6 +406,7 @@ class StereoTracker:
         self.last_kf_frame_id = self.frame_id
         self.ref_obs = int(jnp.sum(good))
         self.stats.n_keyframes += 2
+        self._kf_cursor_est += 2
         self._init_ref = None
         self._finish_frame(cur, timestamp)
         return True
@@ -484,6 +500,7 @@ class StereoTracker:
         self.ref_kf = int(kf_row)
         self._ref_kf_dev = jnp.int32(self.ref_kf)
         self.stats.n_keyframes += 1
+        self._kf_cursor_est += 1
         if self.mapping_queue_enabled:
             self._mapping_step(int(kf_row))
 
@@ -517,6 +534,37 @@ class StereoTracker:
             self.map = local_mapping.sweep_detached(self.map)
         if self.loop_closer is not None:
             self.map = self.loop_closer.process_keyframe(self.map, kf_row)
+
+    def _compact_map(self):
+        """Repack the map (ms.compact) and remap every host row reference:
+        reference keyframe, local window, current frame bindings, and the
+        loop closer's row-aligned state. Runs with the frame pipeline
+        flushed (callers flush first)."""
+        if int(self.map.n_kf) < int(0.5 * self.cfg.capacity.max_keyframes):
+            # Estimate drifted (e.g. nothing was culled); resync and skip.
+            self._kf_cursor_est = int(self.map.n_kf)
+            return
+        res = ms.compact(self.map)
+        self.map = res.m
+        kmap = np.asarray(res.kf_old2new)
+        pmap_dev = res.mp_old2new
+        new_ref = int(kmap[self.ref_kf]) if self.ref_kf >= 0 else -1
+        self.ref_kf = new_ref if new_ref >= 0 else 0
+        self._ref_kf_dev = jnp.int32(self.ref_kf)
+        lr = res.kf_old2new[jnp.clip(self._local_rows, 0)]
+        self._local_ok = self._local_ok & (lr >= 0)
+        self._local_rows = jnp.clip(lr, 0)
+        if self.last_frame is not None:
+            idx = self.last_frame.mp_idx
+            idx = jnp.where(idx >= 0, pmap_dev[jnp.clip(idx, 0)], ms.NO_MP)
+            self.last_frame = self.last_frame._replace(mp_idx=idx)
+        if self.loop_closer is not None:
+            self.loop_closer.remap_rows(res)
+        self._kf_cursor_est = int(self.map.n_kf)
+        if self._kf_cursor_est >= int(0.85 * self.cfg.capacity.max_keyframes):
+            # Map genuinely full (culling freed nothing): back off so a
+            # full map costs one repack per cooldown, not one per frame.
+            self._compact_cooldown = self.frame_id + 60
 
     def _finish_frame(self, cur, timestamp: float, lost: bool = False,
                       Tcw_np: Optional[np.ndarray] = None):

@@ -596,6 +596,28 @@ class LoopCloser:
             self.gba_runner.launch(m)
         return m
 
+    def remap_rows(self, res):
+        """Apply a map compaction (mapstate.compact result): the BoW
+        database rows, accumulated loop edges and consistency state are all
+        keyframe-row-aligned and must follow the repack."""
+        self.db = self.db.reorder(res.kf_order, res.m.n_kf)
+        kmap = res.kf_old2new
+        li = kmap[jnp.clip(self.loops.i, 0)]
+        lj = kmap[jnp.clip(self.loops.j, 0)]
+        self.loops = self.loops._replace(
+            i=jnp.clip(li, 0), j=jnp.clip(lj, 0),
+            valid=self.loops.valid & (li >= 0) & (lj >= 0),
+        )
+        self.consistent_groups = []
+        if self.last_loop_kf >= 0:
+            import numpy as np
+
+            nl = int(np.asarray(kmap)[self.last_loop_kf])
+            self.last_loop_kf = nl if nl >= 0 else -(10 ** 9)
+        if self.gba_runner is not None:
+            # A running GBA holds pre-compaction row numbering; discard it.
+            self.gba_runner.abort()
+
     def _audit(self, m: ms.MapState, stage: str):
         # getattr: harnesses may build partially-initialized LoopClosers.
         if not getattr(self, "debug_checks", False):

@@ -318,3 +318,55 @@ def update_point_geometry(m: MapState) -> MapState:
         desc=jnp.where(has_obs[:, None], new_desc, m.mp.desc),
     )
     return m._replace(mp=mp)
+
+
+class CompactResult(NamedTuple):
+    m: "MapState"
+    kf_old2new: jnp.ndarray  # [N] new row per old row, -1 for dropped
+    mp_old2new: jnp.ndarray  # [M]
+    kf_order: jnp.ndarray    # [N] old row gathered into each new row
+    mp_order: jnp.ndarray    # [M]
+
+
+@jax.jit
+def compact(m: MapState) -> CompactResult:
+    """Repack valid rows to the front, reclaiming culled slots.
+
+    The allocation cursor is append-only, so culling alone never frees
+    capacity — a long run eventually fills the tables even though most
+    rows are dead (the reference's std::set maps shrink for free; SURVEY.md
+    §5.7 flags eviction as the missing piece of the fixed-capacity design).
+    Compaction is a STABLE repack: surviving rows keep their relative
+    order, so every time-ordering invariant (per-client spanning chains,
+    trailing-window culling, "recent rows are newest") survives with rows
+    renumbered. Hosts must remap their row references via `kf_old2new` /
+    `mp_old2new` (tracker state, BoW database, loop edges — see
+    StereoTracker._compact_map).
+    """
+    N, M = m.kf.capacity, m.mp.capacity
+
+    def plan(valid, cap):
+        order = jnp.argsort(~valid, stable=True)       # valid rows first
+        n = jnp.sum(valid.astype(jnp.int32))
+        new_of_old = jnp.full(cap, -1, jnp.int32)
+        slots = jnp.arange(cap, dtype=jnp.int32)
+        new_of_old = new_of_old.at[order].set(
+            jnp.where(slots < n, slots, -1))
+        return order, new_of_old, n
+
+    kf_order, kf_map, n_kf = plan(m.kf.valid, N)
+    mp_order, mp_map, n_mp = plan(m.mp.valid, M)
+
+    kf = jax.tree.map(lambda a: a[kf_order], m.kf)
+    mp = jax.tree.map(lambda a: a[mp_order], m.mp)
+
+    # Remap cross-references. A reference to a dropped row becomes invalid.
+    idx = kf.mp_idx
+    idx = jnp.where(idx >= 0, mp_map[jnp.clip(idx, 0)], NO_MP)
+    kf = kf._replace(mp_idx=idx)
+    ref = jnp.clip(kf_map[jnp.clip(mp.ref_kf, 0)], 0)
+    first = jnp.clip(kf_map[jnp.clip(mp.first_kf, 0)], 0)
+    mp = mp._replace(ref_kf=ref, first_kf=first)
+
+    m2 = MapState(kf, mp, n_kf, n_mp)
+    return CompactResult(m2, kf_map, mp_map, kf_order, mp_order)

@@ -17,6 +17,17 @@ Built with `jax.shard_map` so the collectives are explicit:
 Cost per CG iteration: O(O/n_devices) compute + two [C,6]/[P,3] psums — the
 camera/point state is tiny next to the observation set, so scaling is
 observation-parallel like data-parallel training.
+
+Multi-host deployment (SURVEY.md §5.8 / P7): nothing here is single-host —
+the mesh is whatever `jax.devices()` exposes. On a multi-host TPU slice,
+initialize the runtime with `jax.distributed.initialize()` on every host
+and build the mesh over the global device list; the same shard_map then
+rides ICI within a slice and DCN across slices, with XLA choosing the
+collective implementation. The CONTROL plane (client<->server delta sync)
+is transport-pluggable: socket_transport (TCP) already works across hosts,
+shm_transport covers same-host fleets, and the fusion server is agnostic to
+which one carries its calls. Exercised hermetically on the 8-device CPU
+mesh by tests/test_parallel.py and __graft_entry__.dryrun_multichip.
 """
 
 from __future__ import annotations

@@ -58,6 +58,16 @@ class BowDatabase(NamedTuple):
     def remove(self, kill: jnp.ndarray) -> "BowDatabase":
         return self._replace(valid=self.valid & ~kill)
 
+    def reorder(self, order: jnp.ndarray, n_valid) -> "BowDatabase":
+        """Apply a map-compaction row permutation (mapstate.compact's
+        kf_order): the database rows are aligned with the keyframe SoA, so
+        they repack with it."""
+        keep = jnp.arange(order.shape[0]) < n_valid
+        return BowDatabase(
+            bow=self.bow[order],
+            valid=self.valid[order] & keep,
+        )
+
 
 def detect_loop_candidates(
     db: BowDatabase,

@@ -73,6 +73,10 @@ class CorbslamClient:
                 loop_closer=self.loop_closer,
             )
             self.cache.start_async_uplink()
+            # Compaction renumbers rows; the cache's gid<->row maps and
+            # ack snapshots are row-addressed, so collab runs keep the
+            # append-only cursor (capacities are sized per sequence).
+            self.tracker.compaction_enabled = False
         # Sync cadence in frames (the reference syncs on wall-clock: 6 s
         # uplink Cache.cc:370, 2 s downlink poll; at the 10 fps replay rate
         # that is 60 / 20 frames).

@@ -27,10 +27,14 @@ import pytest  # noqa: E402
 def rng():
     return np.random.default_rng(0)
 
-# CPU-only cache dir: entries written by axon/TPU-host sessions carry
-# different machine-feature sets and poison pure-CPU executions (XLA's
-# cpu_aot_loader feature-mismatch warnings + wrong numerics), so tests
-# never share a cache with bench/TPU runs.
-os.environ["JAX_COMPILATION_CACHE_DIR"] = "/root/.jax_cache_cpu"
-jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache_cpu")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# NO persistent compilation cache for the suite. Two observed failure
+# modes make it a liability here: (a) XLA:CPU AOT entries embed the compile
+# host's feature set and the container migrates across machine types
+# (cpu_aot_loader feature-mismatch warnings, then SIGSEGV on load); (b)
+# even same-host, deserializing cached executables into a long-lived
+# process that has already loaded 100+ programs segfaulted reproducibly
+# (compilation_cache.get_executable_and_time) while the identical tests
+# pass in isolation. CPU compiles of these programs are cheap; always
+# compiling is deterministic.
+jax.config.update("jax_enable_compilation_cache", False)
+os.environ.pop("JAX_COMPILATION_CACHE_DIR", None)

@@ -2,7 +2,7 @@
 via ctypes; ref analog: the reference's same-host client/server deployment
 still crossing loopback TCPROS, README.md:55-75)."""
 
-import multiprocessing as mp
+import multiprocessing
 import os
 import tempfile
 
@@ -10,6 +10,13 @@ import numpy as np
 import pytest
 
 from corbslam_tpu.collab import shm_ring
+
+# NEVER fork from the pytest process: it has initialized XLA (8 CPU devices,
+# compiler thread pools), and forked children inheriting that state
+# destabilize the PARENT too — the full suite segfaulted inside a later
+# XLA:CPU compile until these tests switched to spawn. The children only
+# import numpy + the transport modules, so spawn is cheap.
+mp = multiprocessing.get_context("spawn")
 
 pytestmark = pytest.mark.skipif(
     not shm_ring.available(), reason="shm ring native lib unavailable")
@@ -51,14 +58,7 @@ class TestRing:
 
     def test_cross_process(self):
         r = shm_ring.Ring("/csr_test_xp", 1 << 16, create=True)
-
-        def child():
-            w = shm_ring.Ring("/csr_test_xp")
-            for i in range(50):
-                assert w.push(bytes([i]) * (i + 1))
-            # do NOT close: consumer still reading (owner unlink is ours)
-
-        p = mp.Process(target=child)
+        p = mp.Process(target=_ring_writer_proc)
         p.start()
         got = []
         import time
@@ -71,6 +71,13 @@ class TestRing:
         r.close()
         assert len(got) == 50
         assert got[10] == bytes([10]) * 11
+
+
+def _ring_writer_proc():
+    w = shm_ring.Ring("/csr_test_xp")
+    for i in range(50):
+        assert w.push(bytes([i]) * (i + 1))
+    # do NOT close: consumer still reading (owner unlink is the parent's)
 
 
 def _client_proc(session_dir, cid, out_q):
