@@ -194,17 +194,30 @@ class ClientCache:
         after a failed MP push would wire-encode those observations as -1
         and the server (which then marks the KF gid known) would never
         re-receive the bindings — so a failed MP push aborts the cycle and
-        the whole batch retries next period."""
+        the whole batch retries next period.
+
+        Locking: the transport call can block for SECONDS while the server
+        is fusion-busy; holding the cache lock across it would stall the
+        main thread's downlink_step (the stall the async uplink exists to
+        remove). Each push therefore builds its message and commits its
+        cursors/id maps under the lock, but performs I/O outside it —
+        safe because only this single uplink worker advances cursors and
+        assigns OWN rows, while downlink only assigns FOREIGN rows."""
         if m is None:
             m = self.tracker.map
-        with self._lock:
-            if not self._push_new_mps(m):
+        for build in (self._build_new_mps, self._build_new_kfs,
+                      self._build_pose_deltas, self._build_pos_deltas):
+            with self._lock:
+                prep = build(m)
+            if prep is None:
+                continue  # nothing to push for this stage
+            service, msg, commit = prep
+            if not self.transport.call(service, self.cid, msg):
+                self.stats["failed_calls"] += 1
                 return False
-            if not self._push_new_kfs(m):
-                return False
-            ok = self._push_pose_deltas(m)
-            ok &= self._push_pos_deltas(m)
-            return ok
+            with self._lock:
+                commit()
+        return True
 
     def _own_new_rows(self, client_arr, valid_arr, lo: int, hi: int, fixed_arr):
         rows = np.arange(lo, hi, dtype=np.int64)
@@ -215,48 +228,53 @@ class ClientCache:
         fx = np.asarray(fixed_arr[lo:hi])
         return rows[(cl == self.cid) & vd & ~fx]
 
-    def _push_new_mps(self, m: ms.MapState) -> bool:
+    def _build_new_mps(self, m: ms.MapState):
+        """Build the new-map-point push (called under the lock). Returns
+        (service, msg, commit) or None; `commit` runs under the lock after
+        the server ACKs."""
         hi = int(m.n_mp)
         rows = self._own_new_rows(m.mp.client, m.mp.valid, self.synced_mp, hi,
                                   m.mp.fixed)
         if len(rows) == 0:
             self.synced_mp = hi
-            return True
+            return None
         gids = self.cid * self.mp_ids.stride + rows
         ref_rows = np.asarray(m.mp.ref_kf[rows])
+        pos = np.asarray(m.mp.pos[rows])
         msg = wire.mp_insert_msg(
             gid=gids, client=np.full(len(rows), self.cid, np.int32),
-            pos=np.asarray(m.mp.pos[rows]),
+            pos=pos,
             normal=np.asarray(m.mp.normal[rows]),
             desc=np.asarray(m.mp.desc[rows]),
             min_dist=np.asarray(m.mp.min_dist[rows]),
             max_dist=np.asarray(m.mp.max_dist[rows]),
             ref_kf_gid=self.cid * self.kf_ids.stride + ref_rows.astype(np.int64),
         )
-        if not self.transport.call(wire.SRV_INSERT_MPS, self.cid, msg):
-            self.stats["failed_calls"] += 1
-            return False
-        self.mp_ids.assign_own(rows)
-        self._mp_pos_snap[rows] = np.asarray(m.mp.pos[rows])
-        self.synced_mp = hi
-        self.stats["mps_pushed"] += len(rows)
-        return True
 
-    def _push_new_kfs(self, m: ms.MapState) -> bool:
+        def commit():
+            self.mp_ids.assign_own(rows)
+            self._mp_pos_snap[rows] = pos
+            self.synced_mp = hi
+            self.stats["mps_pushed"] += len(rows)
+
+        return wire.SRV_INSERT_MPS, msg, commit
+
+    def _build_new_kfs(self, m: ms.MapState):
         hi = int(m.n_kf)
         rows = self._own_new_rows(m.kf.client, m.kf.valid, self.synced_kf, hi,
                                   m.kf.fixed)
         if len(rows) == 0:
             self.synced_kf = hi
-            return True
+            return None
         gids = self.cid * self.kf_ids.stride + rows
         mp_idx = np.asarray(m.kf.mp_idx[rows])  # [K, F] local rows
         mp_gid = np.where(
             mp_idx >= 0, self.mp_ids.gid_of_row[np.clip(mp_idx, 0, None)], -1
         )
+        Tcw = np.asarray(m.kf.Tcw[rows])
         msg = wire.kf_insert_msg(
             gid=gids, client=np.full(len(rows), self.cid, np.int32),
-            Tcw=np.asarray(m.kf.Tcw[rows]),
+            Tcw=Tcw,
             xy=np.asarray(m.kf.xy[rows]),
             octave=np.asarray(m.kf.octave[rows]),
             angle=np.asarray(m.kf.angle[rows]),
@@ -268,16 +286,16 @@ class ClientCache:
             frame_id=np.asarray(m.kf.frame_id[rows]),
             timestamp=np.asarray(m.kf.timestamp[rows]),
         )
-        if not self.transport.call(wire.SRV_INSERT_KFS, self.cid, msg):
-            self.stats["failed_calls"] += 1
-            return False
-        self.kf_ids.assign_own(rows)
-        self._kf_pose_snap[rows] = np.asarray(m.kf.Tcw[rows])
-        self.synced_kf = hi
-        self.stats["kfs_pushed"] += len(rows)
-        return True
 
-    def _push_pose_deltas(self, m: ms.MapState) -> bool:
+        def commit():
+            self.kf_ids.assign_own(rows)
+            self._kf_pose_snap[rows] = Tcw
+            self.synced_kf = hi
+            self.stats["kfs_pushed"] += len(rows)
+
+        return wire.SRV_INSERT_KFS, msg, commit
+
+    def _build_pose_deltas(self, m: ms.MapState):
         """Keyframes already on the server whose pose moved (local BA, loop
         correction) — the reference's updateKFs dirty set (Cache.cc:223),
         here a vectorized diff against the last acked snapshot."""
@@ -286,7 +304,7 @@ class ClientCache:
             np.arange(len(self.kf_ids.gid_of_row)) < lo
         )
         if not own.any():
-            return True
+            return None
         Tcw = np.asarray(m.kf.Tcw)
         moved = own & (
             np.abs(Tcw - self._kf_pose_snap).reshape(len(Tcw), -1).max(axis=1)
@@ -294,36 +312,36 @@ class ClientCache:
         ) & np.asarray(m.kf.valid) & ~np.asarray(m.kf.fixed)
         rows = np.nonzero(moved)[0]
         if len(rows) == 0:
-            return True
+            return None
         msg = wire.kf_pose_msg(self.kf_ids.gid_of_row[rows], Tcw[rows])
-        if not self.transport.call(wire.SRV_UPDATE_KFS, self.cid, msg):
-            self.stats["failed_calls"] += 1
-            return False
-        self._kf_pose_snap[rows] = Tcw[rows]
-        self.stats["kf_poses_pushed"] += len(rows)
-        return True
 
-    def _push_pos_deltas(self, m: ms.MapState) -> bool:
+        def commit():
+            self._kf_pose_snap[rows] = Tcw[rows]
+            self.stats["kf_poses_pushed"] += len(rows)
+
+        return wire.SRV_UPDATE_KFS, msg, commit
+
+    def _build_pos_deltas(self, m: ms.MapState):
         lo = self.synced_mp
         own = (self.mp_ids.gid_of_row >= 0) & (
             np.arange(len(self.mp_ids.gid_of_row)) < lo
         )
         if not own.any():
-            return True
+            return None
         pos = np.asarray(m.mp.pos)
         moved = own & (
             np.abs(pos - self._mp_pos_snap).max(axis=1) > 1e-7
         ) & np.asarray(m.mp.valid) & ~np.asarray(m.mp.fixed)
         rows = np.nonzero(moved)[0]
         if len(rows) == 0:
-            return True
+            return None
         msg = wire.mp_pos_msg(self.mp_ids.gid_of_row[rows], pos[rows])
-        if not self.transport.call(wire.SRV_UPDATE_MPS, self.cid, msg):
-            self.stats["failed_calls"] += 1
-            return False
-        self._mp_pos_snap[rows] = pos[rows]
-        self.stats["mp_pos_pushed"] += len(rows)
-        return True
+
+        def commit():
+            self._mp_pos_snap[rows] = pos[rows]
+            self.stats["mp_pos_pushed"] += len(rows)
+
+        return wire.SRV_UPDATE_MPS, msg, commit
 
     # ------------------------------------------------------------------
     # Downlink (Cache::runSubFromServer + handlers, Cache.cc:418-634)

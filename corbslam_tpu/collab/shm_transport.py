@@ -89,7 +89,12 @@ class ShmServerTransport(Transport):
         for fn in names:
             if not fn.startswith("client_"):
                 continue
-            cid = int(fn.split("_")[1])
+            try:
+                cid = int(fn.split("_")[1])
+            except ValueError:
+                # Mid-announce tmp file (client_<k>.tmp before os.replace)
+                # or any other non-conforming name: skip, retry next scan.
+                continue
             if cid in self._up:
                 continue
             base = open(os.path.join(self.session_dir, fn)).read().strip()

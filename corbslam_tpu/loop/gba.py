@@ -184,7 +184,16 @@ class GlobalBARunner:
         # per-frame program donates the map pytree (track_ops donate_argnums)
         # — donation deletes those buffers regardless of other Python refs,
         # so a worker thread holding `m` races "Array has been deleted".
+        # problem_from_map passes Tcw/X through as the LIVE map buffers
+        # (ba_dense.py problem builders), so copy every leaf that aliases
+        # the map before handing off to the worker.
         prob = build_global_problem_dense(m, self.cfg)
+        prob = prob._replace(
+            Tcw=jnp.array(prob.Tcw, copy=True),
+            X=jnp.array(prob.X, copy=True),
+        )
+        jax.block_until_ready(prob.Tcw)
+        jax.block_until_ready(prob.X)
         jax.block_until_ready(prob.obs_active)
         snap = (prob, int(m.n_kf), int(m.n_mp))
         if self.synchronous:

@@ -205,15 +205,14 @@ def add_map_points(
     create = create & (m.n_mp + offs < m.mp.capacity)
     rows = jnp.where(create, m.n_mp + offs, NO_MP)
     n_new = jnp.sum(create.astype(jnp.int32))
-    safe_rows = jnp.where(create, rows, m.mp.capacity - 1)
-    wmask = create
+    # Masked rows scatter to the POSITIVELY out-of-range bucket `capacity`
+    # and are dropped — never routed through a real slot, where a duplicate
+    # index with a legitimate allocation would have an unspecified winner
+    # (mirrors insert_keyframe's drop-mode scatter).
+    scatter_rows = jnp.where(create, rows, m.mp.capacity)
 
     def put(arr, vals):
-        return arr.at[safe_rows].set(
-            jnp.where(
-                wmask.reshape((K,) + (1,) * (vals.ndim - 1)), vals, arr[safe_rows]
-            )
-        )
+        return arr.at[scatter_rows].set(vals, mode="drop")
 
     mp = m.mp
     ref_arr = jnp.broadcast_to(jnp.asarray(ref_kf, jnp.int32), (K,))

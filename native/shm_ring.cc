@@ -33,7 +33,8 @@ struct RingHeader {
   std::atomic<uint64_t> head;  // bytes written (producer-owned)
   std::atomic<uint64_t> tail;  // bytes consumed (consumer-owned)
   uint64_t capacity;           // data area size, power of two
-  uint64_t magic;
+  std::atomic<uint64_t> magic; // release-published LAST; acquire-checked
+                               // by csr_open before trusting other fields
   char _pad[64 - 4 * sizeof(uint64_t)];  // keep data cache-line clear
 };
 
@@ -81,8 +82,9 @@ void* csr_create(const char* name, uint64_t capacity) {
   r->hdr->head.store(0, std::memory_order_relaxed);
   r->hdr->tail.store(0, std::memory_order_relaxed);
   r->hdr->capacity = cap;
-  std::atomic_thread_fence(std::memory_order_release);
-  r->hdr->magic = kMagic;
+  // Release-store publishes capacity/head/tail before magic becomes
+  // visible; csr_open pairs with an acquire load.
+  r->hdr->magic.store(kMagic, std::memory_order_release);
   return r;
 }
 
@@ -101,7 +103,7 @@ void* csr_open(const char* name) {
   close(fd);
   if (mem == MAP_FAILED) return nullptr;
   RingHeader* hdr = (RingHeader*)mem;
-  if (hdr->magic != kMagic) {
+  if (hdr->magic.load(std::memory_order_acquire) != kMagic) {
     munmap(mem, (size_t)st.st_size);
     return nullptr;
   }
