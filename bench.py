@@ -40,7 +40,10 @@ def bench_gba(cam, cfg):
 
     cap = cfg.capacity
     rng = np.random.default_rng(0)
-    N_used, P_used, obs_per_kf = 384, 49152, 512
+    # r4 capacity: 2x the r3 problem (VERDICT #4 asks >=768 KF / ~100k pts
+    # at >=5 LM iters/s) — KITTI-00 is ~1300 KFs, so this is a realistic
+    # loop-event problem size.
+    N_used, P_used, obs_per_kf = 768, 98304, 512
     m = ms.empty(cap)
 
     # Poses along a gentle arc; landmarks in a band in front of them.
@@ -104,11 +107,65 @@ def bench_gba(cam, cfg):
     }
 
 
+def bench_ate_closed_loop():
+    """Accuracy as a driver-tracked number (VERDICT r3 #9): replay the
+    closed-orbit world end to end (loop closing + GBA on) in a CPU
+    subprocess — tools/loop_e2e.py already asserts the loop fires; here its
+    ATE numbers are folded into BENCH_EXTRA so a fast-but-wrong regression
+    shows up round-over-round. Runs AFTER the timed flagship window so the
+    2-core host contention cannot touch the fps measurement."""
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        out = subprocess.run(
+            [sys.executable, "-u", os.path.join(here, "tools", "loop_e2e.py"),
+             "--step", "0.06"],
+            capture_output=True, text=True, timeout=1200,
+        )
+        line = [l for l in out.stdout.strip().splitlines()
+                if l.startswith("{")][-1]
+        res = json.loads(line)
+        return {
+            "ate_rmse_frames": res["ate_rmse_frames"],
+            "ate_rmse_kf": res["ate_rmse_keyframes_post"],
+            "ate_frames": res["frames"],
+            "ate_loops_closed": res["loops_closed"],
+            "ate_nonfinite_kf_poses": res["nonfinite_kf_poses"],
+        }
+    except Exception as e:  # pragma: no cover - bench resilience
+        return {"ate_error": repr(e)[:200]}
+
+
+def bench_ate_kitti():
+    """When a real KITTI sequence is present (sequences/<seq>/image_0 +
+    poses), replay it and report ATE — the reference's dataset-driven
+    validation (stereo_kitti.cc:96-116 + SaveTrajectoryKITTI). The
+    container ships no dataset, so this is a guarded hook."""
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    if not os.path.isdir(os.path.join(here, "sequences")):
+        return {}
+    try:
+        out = subprocess.run(
+            [sys.executable, "-u", os.path.join(here, "tools", "kitti_replay.py"),
+             "--root", here, "--max-frames", "300"],
+            capture_output=True, text=True, timeout=3600,
+        )
+        line = [l for l in out.stdout.strip().splitlines()
+                if l.startswith("{")][-1]
+        return {"kitti_" + k: v for k, v in json.loads(line).items()}
+    except Exception as e:  # pragma: no cover
+        return {"kitti_error": repr(e)[:200]}
+
+
 def main():
     from corbslam_tpu.config import KITTI_STEREO
     from corbslam_tpu.frontend.tracking import StereoTracker
     from corbslam_tpu.geometry import camera, se3
     from corbslam_tpu.io import synthetic
+    from corbslam_tpu.io import trajectory as traj_mod
 
     cam = camera.Intrinsics.create(
         fx=718.856, fy=718.856, cx=607.1928, cy=185.2157, bf=386.1448,
@@ -159,21 +216,37 @@ def main():
     fps = n_meas / dt
     lat_ms = np.asarray(lat) * 1e3
 
+    # Flagship-window accuracy: the same frames that produced the fps number
+    # must also have gone to the right places (fast-but-wrong guard).
+    est = np.asarray([
+        np.asarray(se3.inverse(jnp.asarray(T)))
+        for _, T in tracker.trajectory
+    ])
+    gtw = np.asarray([
+        np.asarray(se3.inverse(gt_pose(i))) for i in range(len(est))
+    ])
+    ate_window = traj_mod.ate_rmse(est, gtw, align=True)
+
     # Side metrics (north stars beyond the flagship): GBA iterations/sec on
-    # a full synthetic map. Written to BENCH_EXTRA.json + stderr so stdout
-    # stays the single flagship JSON line the driver expects.
+    # a full synthetic map + closed-loop ATE. Written to BENCH_EXTRA.json +
+    # stderr so stdout stays the single flagship JSON line the driver
+    # expects.
     extra = {
         "kitti_stereo_tracking_fps_per_client": round(fps, 2),
         "frame_ms_p50": round(float(np.percentile(lat_ms, 50)), 1),
         "frame_ms_p90": round(float(np.percentile(lat_ms, 90)), 1),
         "frame_ms_max": round(float(lat_ms.max()), 1),
         "keyframes_in_window": int(tracker.stats.n_keyframes),
+        "ate_rmse_window": round(float(ate_window), 4),
     }
     if not os.environ.get("BENCH_SKIP_GBA"):
         try:
             extra.update(bench_gba(cam, cfg))
         except Exception as e:  # pragma: no cover - bench resilience
             extra["gba_error"] = repr(e)
+    if not os.environ.get("BENCH_SKIP_ATE"):
+        extra.update(bench_ate_closed_loop())
+        extra.update(bench_ate_kitti())
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_EXTRA.json"), "w") as f:
         json.dump(extra, f, indent=1)

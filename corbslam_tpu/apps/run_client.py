@@ -99,9 +99,14 @@ def main(argv=None):
     voc = None
     if not args.no_loop_closing:
         if args.vocab:
-            voc = vocab_mod.load(args.vocab)
+            voc = vocab_mod.load_any(args.vocab)
             print(f"[run_client] loaded vocabulary ({voc.n_words} words)")
         else:
+            voc = vocab_mod.load_default()
+            if voc is not None:
+                print(f"[run_client] loaded shipped vocabulary "
+                      f"({voc.n_words} words, assets/vocab32k.npz)")
+        if voc is None:
             from ..frontend import frame as frame_mod
 
             a = get(frames[0])

@@ -49,12 +49,14 @@ def main(argv=None):
     )
     tilt = se3.exp(jnp.asarray([0, 0, 0, 0.35, 0, 0], jnp.float32))
 
-    # Vocabulary from one rendered frame.
-    from ..frontend import frame as frame_mod
+    # Vocabulary: shipped artifact first, inline bootstrap as fallback.
+    voc = vocab_mod.load_default()
+    if voc is None:
+        from ..frontend import frame as frame_mod
 
-    img0, _ = world.render_stereo(tilt)
-    f0 = frame_mod.build_frame_mono(img0, cam, cfg.orb)
-    voc = vocab_mod.train(f0.desc, n_words=512, n_iters=5)
+        img0, _ = world.render_stereo(tilt)
+        f0 = frame_mod.build_frame_mono(img0, cam, cfg.orb)
+        voc = vocab_mod.train(f0.desc, n_words=512, n_iters=5)
 
     transport = InProcTransport(serialize=True)
     server = MapFusionServer(

@@ -73,10 +73,9 @@ def run_server(args):
     import numpy as np
 
     from ..collab.server import MapFusionServer
-    from ..place.vocab import Vocabulary
+    from ..place import vocab as vocab_mod
 
-    v = np.load(args.vocab)
-    voc = Vocabulary(word_bits=v["word_bits"], idf=v["idf"])
+    voc = vocab_mod.load_any(args.vocab)
     cam, cfg = _camera(), _build_cfg()
 
     if args.transport == "shm":
@@ -148,10 +147,9 @@ def run_client(args):
 
     from .. import system as system_mod
     from ..geometry import se3
-    from ..place.vocab import Vocabulary
+    from ..place import vocab as vocab_mod
 
-    v = np.load(args.vocab)
-    voc = Vocabulary(word_bits=v["word_bits"], idf=v["idf"])
+    voc = vocab_mod.load_any(args.vocab)
     cam, cfg = _camera(), _build_cfg()
     world = _world(cam)
     tilt = se3.exp(jnp.asarray([0, 0, 0, 0.35, 0, 0], jnp.float32))
@@ -305,12 +303,27 @@ def run_driver(args):
     os.makedirs(tmp, exist_ok=True)
     cam, cfg = _camera(), _build_cfg()
     world = _world(cam)
-    tilt = se3.exp(jnp.asarray([0, 0, 0, 0.35, 0, 0], jnp.float32))
-    img0, _ = world.render_stereo(tilt)
-    f0 = frame_mod.build_frame_mono(img0, cam, cfg.orb)
-    voc = vocab_mod.train(f0.desc, n_words=512, n_iters=5)
-    np.savez(os.path.join(tmp, "vocab.npz"),
-             word_bits=np.asarray(voc.word_bits), idf=np.asarray(voc.idf))
+    # Vocabulary: the shipped universal artifact (assets/vocab32k.npz — the
+    # reference's pretrained ORBvoc loaded at startup,
+    # TemplatedVocabulary.h:1338), trained OFFLINE on unrelated worlds.
+    # Fallback: train inline from one frame (hermetic CI without assets).
+    asset = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), "assets", "vocab32k.npz")
+    if os.path.exists(asset):
+        import shutil
+
+        shutil.copy(asset, os.path.join(tmp, "vocab.npz"))
+        print(f"[driver] vocabulary: {asset}")
+    else:
+        tilt = se3.exp(jnp.asarray([0, 0, 0, 0.35, 0, 0], jnp.float32))
+        img0, _ = world.render_stereo(tilt)
+        f0 = frame_mod.build_frame_mono(img0, cam, cfg.orb)
+        voc = vocab_mod.train(f0.desc, n_words=512, n_iters=5)
+        np.savez(os.path.join(tmp, "vocab.npz"),
+                 word_bits=np.asarray(voc.word_bits), idf=np.asarray(voc.idf))
+        print("[driver] vocabulary: inline 512-word fallback "
+              "(assets/vocab32k.npz not found)")
 
     pin = args.pin or (os.cpu_count() or 1) < args.clients + 1
     ss, cs = _run_fleet(args.clients, args.frames, tmp, gba=args.gba,

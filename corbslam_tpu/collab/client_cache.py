@@ -343,6 +343,15 @@ class ClientCache:
 
         return wire.SRV_UPDATE_MPS, msg, commit
 
+    def request_resync(self) -> bool:
+        """Ask the server to replay the full global map in chunks — the
+        late-join / lost-message recovery path (the reference re-sends the
+        whole map after every fusion, MapFusion.cpp:370-423; here it is a
+        pull so steady-state broadcasts stay delta-only). The replay
+        arrives on the normal downlink topics; gids this client already
+        knows are skipped by _fresh_foreign."""
+        return self.transport.call(wire.SRV_RESYNC, self.cid, {})
+
     # ------------------------------------------------------------------
     # Downlink (Cache::runSubFromServer + handlers, Cache.cc:418-634)
     # ------------------------------------------------------------------
@@ -444,14 +453,24 @@ class ClientCache:
             rows_np = np.asarray(rows)[: len(sel)]
             self.kf_ids.assign_foreign(rows_np, gids[sel])
             self.stats["foreign_kfs"] += len(sel)
+            # Keep the tracker's host mirror of the keyframe cursor exact
+            # (it gates keyframe creation without a device sync).
+            if hasattr(self.tracker, "_kf_cursor_est"):
+                self.tracker._kf_cursor_est = max(
+                    self.tracker._kf_cursor_est, int(rows_np.max()) + 1)
             # Foreign keyframes join the local BoW database so they serve
             # relocalization and loop detection (Cache.cc:484
-            # addKeyFrametoDB).
-            if self.loop_closer is not None:
-                for r in rows_np.tolist():
-                    self.loop_closer.db = self.loop_closer.db.add(
-                        r, self.loop_closer.compute_bow(m, r)
-                    )
+            # addKeyFrametoDB). Batched: one transform_many + one scatter
+            # per chunk instead of a device program per row (the per-row
+            # loop was a measurable slice of r3's downlink cost).
+            if self.loop_closer is not None and len(rows_np):
+                from ..place import vocab as vocab_mod
+
+                lc = self.loop_closer
+                rj = jnp.asarray(rows_np)
+                bows = vocab_mod.transform_many(
+                    lc.voc, m.kf.desc[rj], m.kf.fvalid[rj])
+                lc.db = lc.db.add_batch(rj, bows)
         self.tracker.map = m
 
     def _apply_kf_poses(self, msg):

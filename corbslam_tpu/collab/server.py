@@ -80,6 +80,9 @@ class MapFusionServer:
         self._bcast_mp = 0
         self._kf_pose_snap = np.zeros((cap.max_keyframes, 4, 4), np.float32)
         self._mp_pos_snap = np.zeros((cap.max_map_points, 3), np.float32)
+        # Full-map replay cursors (None = no replay in progress).
+        self._resync_kf = None
+        self._resync_mp = None
         self.gba = gba_mod.GlobalBARunner(
             cam, cfg, synchronous=synchronous_gba
         ) if run_gba else None
@@ -97,6 +100,7 @@ class MapFusionServer:
         transport.register_handler(wire.SRV_INSERT_MPS, self.insert_mappoints)
         transport.register_handler(wire.SRV_UPDATE_KFS, self.update_kf_poses)
         transport.register_handler(wire.SRV_UPDATE_MPS, self.update_mp_positions)
+        transport.register_handler(wire.SRV_RESYNC, self.request_resync)
 
     # ------------------------------------------------------------------
     def _next_key(self):
@@ -502,6 +506,82 @@ class MapFusionServer:
     # Broadcast loop (runPubTopic, MapFusion.cpp:315 + PubToClient.cpp)
     # ------------------------------------------------------------------
 
+    def _publish_mp_rows(self, rows: np.ndarray, trans):
+        """Publish one batch of global map-point rows on TOPIC_NEW_MPS."""
+        m = self.gmap
+        msg = wire.mp_insert_msg(
+            gid=self.g_mp_ids.gid_of_row[rows],
+            client=np.asarray(m.mp.client[jnp.asarray(rows)]),
+            pos=np.asarray(m.mp.pos[jnp.asarray(rows)]),
+            normal=np.asarray(m.mp.normal[jnp.asarray(rows)]),
+            desc=np.asarray(m.mp.desc[jnp.asarray(rows)]),
+            min_dist=np.asarray(m.mp.min_dist[jnp.asarray(rows)]),
+            max_dist=np.asarray(m.mp.max_dist[jnp.asarray(rows)]),
+            ref_kf_gid=np.full(len(rows), -1, np.int64),
+        )
+        msg.update(trans)
+        self.transport.publish(wire.TOPIC_NEW_MPS, msg)
+
+    def _publish_kf_rows(self, rows: np.ndarray, trans):
+        """Publish one batch of global keyframe rows on TOPIC_NEW_KFS."""
+        m = self.gmap
+        rj = jnp.asarray(rows)
+        mp_idx = np.asarray(m.kf.mp_idx[rj])
+        mp_gid = np.where(
+            mp_idx >= 0,
+            self.g_mp_ids.gid_of_row[np.clip(mp_idx, 0, None)], -1,
+        )
+        msg = wire.kf_insert_msg(
+            gid=self.g_kf_ids.gid_of_row[rows],
+            client=np.asarray(m.kf.client[rj]),
+            Tcw=np.asarray(m.kf.Tcw[rj]),
+            xy=np.asarray(m.kf.xy[rj]),
+            octave=np.asarray(m.kf.octave[rj]),
+            angle=np.asarray(m.kf.angle[rj]),
+            desc=np.asarray(m.kf.desc[rj]),
+            uright=np.asarray(m.kf.uright[rj]),
+            depth=np.asarray(m.kf.depth[rj]),
+            fvalid=np.asarray(m.kf.fvalid[rj]),
+            mp_gid=mp_gid,
+            frame_id=np.asarray(m.kf.frame_id[rj]),
+            timestamp=np.asarray(m.kf.timestamp[rj]),
+        )
+        msg.update(trans)
+        self.transport.publish(wire.TOPIC_NEW_KFS, msg)
+
+    def request_resync(self, cid: int, msg=None) -> bool:
+        """SRV_RESYNC handler: a (late-joining or message-dropping) client
+        asks for the whole global map again. Replay starts from row 0 and
+        proceeds in resend_chunk_* batches per broadcast tick — the
+        reference's chunked resentGlobalMapToClient (MapFusion.cpp:403-423)
+        as a pull. Receivers that already know a gid skip it
+        (ClientCache._fresh_foreign), so replay is idempotent for everyone
+        else on the topic."""
+        self._resync_kf = 0
+        self._resync_mp = 0
+        return True
+
+    def _resync_chunk(self, trans):
+        """Emit one chunk of the in-progress full-map replay."""
+        if self._resync_mp is not None:
+            hi = min(self._resync_mp + self.cfg.collab.resend_chunk_mps,
+                     self._bcast_mp)
+            rows = np.arange(self._resync_mp, hi)
+            if len(rows):
+                rows = rows[np.asarray(self.gmap.mp.valid[jnp.asarray(rows)])]
+            if len(rows):
+                self._publish_mp_rows(rows, trans)
+            self._resync_mp = hi if hi < self._bcast_mp else None
+        if self._resync_kf is not None:
+            hi = min(self._resync_kf + self.cfg.collab.resend_chunk_kfs,
+                     self._bcast_kf)
+            rows = np.arange(self._resync_kf, hi)
+            if len(rows):
+                rows = rows[np.asarray(self.gmap.kf.valid[jnp.asarray(rows)])]
+            if len(rows):
+                self._publish_kf_rows(rows, trans)
+            self._resync_kf = hi if hi < self._bcast_kf else None
+
     def broadcast_step(self):
         """Publish new global-map entities and changed poses/positions with
         the per-client TRANSM attached."""
@@ -514,18 +594,7 @@ class MapFusionServer:
             rows = np.arange(self._bcast_mp, n_mp)
             rows = rows[np.asarray(m.mp.valid[jnp.asarray(rows)])]
             if len(rows):
-                msg = wire.mp_insert_msg(
-                    gid=self.g_mp_ids.gid_of_row[rows],
-                    client=np.asarray(m.mp.client[jnp.asarray(rows)]),
-                    pos=np.asarray(m.mp.pos[jnp.asarray(rows)]),
-                    normal=np.asarray(m.mp.normal[jnp.asarray(rows)]),
-                    desc=np.asarray(m.mp.desc[jnp.asarray(rows)]),
-                    min_dist=np.asarray(m.mp.min_dist[jnp.asarray(rows)]),
-                    max_dist=np.asarray(m.mp.max_dist[jnp.asarray(rows)]),
-                    ref_kf_gid=np.full(len(rows), -1, np.int64),
-                )
-                msg.update(trans)
-                self.transport.publish(wire.TOPIC_NEW_MPS, msg)
+                self._publish_mp_rows(rows, trans)
             self._mp_pos_snap[self._bcast_mp:n_mp] = np.asarray(
                 m.mp.pos[self._bcast_mp:n_mp]
             )
@@ -536,33 +605,16 @@ class MapFusionServer:
             rows = np.arange(self._bcast_kf, n_kf)
             rows = rows[np.asarray(m.kf.valid[jnp.asarray(rows)])]
             if len(rows):
-                rj = jnp.asarray(rows)
-                mp_idx = np.asarray(m.kf.mp_idx[rj])
-                mp_gid = np.where(
-                    mp_idx >= 0,
-                    self.g_mp_ids.gid_of_row[np.clip(mp_idx, 0, None)], -1,
-                )
-                msg = wire.kf_insert_msg(
-                    gid=self.g_kf_ids.gid_of_row[rows],
-                    client=np.asarray(m.kf.client[rj]),
-                    Tcw=np.asarray(m.kf.Tcw[rj]),
-                    xy=np.asarray(m.kf.xy[rj]),
-                    octave=np.asarray(m.kf.octave[rj]),
-                    angle=np.asarray(m.kf.angle[rj]),
-                    desc=np.asarray(m.kf.desc[rj]),
-                    uright=np.asarray(m.kf.uright[rj]),
-                    depth=np.asarray(m.kf.depth[rj]),
-                    fvalid=np.asarray(m.kf.fvalid[rj]),
-                    mp_gid=mp_gid,
-                    frame_id=np.asarray(m.kf.frame_id[rj]),
-                    timestamp=np.asarray(m.kf.timestamp[rj]),
-                )
-                msg.update(trans)
-                self.transport.publish(wire.TOPIC_NEW_KFS, msg)
+                self._publish_kf_rows(rows, trans)
             self._kf_pose_snap[self._bcast_kf:n_kf] = np.asarray(
                 m.kf.Tcw[self._bcast_kf:n_kf]
             )
             self._bcast_kf = n_kf
+
+        # In-progress full-map replay for late joiners (MP chunk first so
+        # the KF chunk's observation gids resolve on arrival).
+        if self._resync_mp is not None or self._resync_kf is not None:
+            self._resync_chunk(trans)
 
         # Updated poses / positions among already-broadcast rows.
         if self._bcast_kf > 0:

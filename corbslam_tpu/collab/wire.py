@@ -32,6 +32,11 @@ SRV_INSERT_KFS = "insertKeyFramesToMap"
 SRV_INSERT_MPS = "insertMapPointsToMap"
 SRV_UPDATE_KFS = "updateKeyFramePoses"
 SRV_UPDATE_MPS = "updateMapPointPositions"
+# Late-join / lost-message recovery: ask the server to replay the whole
+# global map in chunks (the reference's resentGlobalMapToClient,
+# MapFusion.cpp:370-423, exposed as a pull instead of an unconditional
+# post-fusion push).
+SRV_RESYNC = "requestMapResync"
 TOPIC_NEW_KFS = "serverNewKeyFrames"
 TOPIC_NEW_MPS = "serverNewMapPoints"
 TOPIC_UPD_KFS = "serverUpdatedKeyFramePoses"

@@ -69,6 +69,12 @@ class TrackingConfig:
     th_depth: float = 35.0  # close/far stereo point split (KITTI yaml ThDepth)
     kf_ref_ratio_stereo: float = 0.75  # thRefRatio (Tracking.cc:1046-1053)
     kf_ref_ratio_mono: float = 0.9
+    # Frames in flight before the host syncs a frame's summary. Depth 2
+    # fully hides the dispatch round trip behind one frame of device
+    # compute (the r3 profile showed ~24 ms RTT = 30% of frame time at
+    # depth 1); host-visible state (trajectory, keyframe policy) lags by
+    # this many frames.
+    pipeline_depth: int = 2
 
 
 @dataclass(frozen=True)
@@ -79,8 +85,12 @@ class MappingConfig:
     recent_point_max_unobserved_kfs: int = 2
     triangulation_max_reproj_chi2: float = 5.991
     local_ba_window: int = 16  # covisible KFs in local BA
-    local_ba_iters: int = 8
-    local_ba_cg_iters: int = 32
+    # 5 LM iterations x <=16 warm-started tolerance-exited CG iterations:
+    # local BA re-runs on every keyframe over overlapping windows, so
+    # convergence accrues across keyframes; the reference's 5+10 schedule
+    # (Optimizer.cc:711,758) budgets one window optimized once.
+    local_ba_iters: int = 5
+    local_ba_cg_iters: int = 16
     kf_cull_redundancy: float = 0.9  # KeyFrameCulling:590 (90% rule)
 
 
@@ -95,6 +105,7 @@ class LoopConfig:
     pose_graph_iters: int = 20  # OptimizeEssentialGraph (Optimizer.cc:1032)
     global_ba_iters: int = 10  # GlobalOptimize.cpp:444
     gba_obs_per_kf: int = 512  # dense-plane GBA per-keyframe obs budget
+    gba_cg_iters: int = 24     # CG cap per LM iteration (tol-exited)
 
 
 @dataclass(frozen=True)

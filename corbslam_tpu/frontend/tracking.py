@@ -11,6 +11,7 @@ reference's 6 mutex-coupled threads (SURVEY.md §2.4 P1).
 
 from __future__ import annotations
 
+from collections import deque
 from dataclasses import dataclass, field
 from enum import Enum
 from typing import Optional
@@ -69,7 +70,14 @@ class StereoTracker:
         self.frame_id = 0
         self.ref_kf = 0
         self._ref_kf_dev = jnp.int32(0)  # device copy for pipelined dispatch
-        self._pending = None  # in-flight fused frame: (result, ts, frame_id)
+        # In-flight fused frames, retired cfg.tracking.pipeline_depth frames
+        # late so the summary sync never waits on live device compute.
+        self._pending: deque = deque()
+        # Deferred per-keyframe mapping stages (the reference's LocalMapping
+        # THREAD, LocalMapping.cc:44): each entry is one device program,
+        # executed one per frame so keyframe frames stop paying the whole
+        # insert+fuse+cull+BA pipeline inline (r3: 100-250 ms spikes).
+        self._stage_q: deque = deque()
         self.ref_obs = 0  # tracked-point count when the last KF was made
         self.scales = jnp.asarray(cfg.orb.scales(), jnp.float32)
         self._traj: list = []  # (timestamp, Tcw np [4,4])
@@ -162,6 +170,14 @@ class StereoTracker:
         if self.loop_closer is not None:
             self.map = self.loop_closer.try_merge_gba(self.map)
 
+        # Amortized local mapping: run one deferred stage per frame (two
+        # when a fresh keyframe left a backlog) so mapping compute spreads
+        # across the frames between keyframes instead of spiking one frame.
+        if self._stage_q:
+            self._run_stage()
+            if len(self._stage_q) > 4:
+                self._run_stage()
+
         kwargs = dict(
             ref_kf=self._ref_kf_dev,
             prev_local_rows=self._local_rows,
@@ -187,18 +203,26 @@ class StereoTracker:
         self._local_rows = out.local_rows
         self._local_ok = out.local_ok
         self._ref_kf_dev = out.ref_kf
-        prev_pending = self._pending
-        self._pending = (out, timestamp, self.frame_id)
+        # Start the device->host copy of the summary NOW; by the time this
+        # frame retires (pipeline_depth frames later) the bytes are already
+        # on the host and np.asarray is a no-wait read.
+        try:
+            out.summary.copy_to_host_async()
+        except AttributeError:  # older jax array types
+            pass
+        self._pending.append((out, timestamp, self.frame_id))
         self.frame_id += 1
-        if prev_pending is not None:
-            self._retire(*prev_pending)
+        while len(self._pending) > self.cfg.tracking.pipeline_depth:
+            self._retire(*self._pending.popleft())
         return self.current_pose()
 
     def flush(self):
-        """Retire the in-flight pipelined frame, if any."""
-        if self._pending is not None:
-            p, self._pending = self._pending, None
-            self._retire(*p)
+        """Retire all in-flight pipelined frames and drain the deferred
+        mapping stages, leaving a fully consistent map."""
+        while self._pending:
+            self._retire(*self._pending.popleft())
+        while self._stage_q:
+            self._run_stage()
 
     def _retire(self, out, timestamp: float, fid: int):
         """Consume a fused frame's summary (the one host sync): state
@@ -217,8 +241,10 @@ class StereoTracker:
             self._frame_states.append(self._state)
             return
         self._state = TrackState.OK
+        # Host bookkeeping only: _ref_kf_dev stays the device-threaded value
+        # from the LATEST dispatch (overwriting it here would feed the next
+        # dispatch a pipeline_depth-stale reference keyframe).
         self.ref_kf = int(s[3])
-        self._ref_kf_dev = jnp.int32(self.ref_kf)
         if self._need_new_keyframe(cur, n_local, int(s[4]), int(s[5]), fid=fid):
             self._create_keyframe(cur, timestamp, n_local, fid=fid)
         self._frame_states.append(self._state)
@@ -482,7 +508,12 @@ class StereoTracker:
         # so a full table means no more keyframes — tracking continues
         # against the existing map instead of silently corrupting row N-1
         # (insert_keyframe drops OOB writes as the device-side backstop).
-        if int(self.map.n_kf) >= self.cfg.capacity.max_keyframes:
+        # _kf_cursor_est is an exact host mirror of the device cursor
+        # (inserts here/init, resync on compaction, collab downlink bumps
+        # it) so neither this gate nor the new reference row needs a
+        # blocking device sync in the middle of the pipelined frame loop.
+        kf_row = self._kf_cursor_est
+        if kf_row >= self.cfg.capacity.max_keyframes:
             if not getattr(self, "_warned_kf_full", False):
                 self._warned_kf_full = True
                 import sys
@@ -491,49 +522,80 @@ class StereoTracker:
                       "keyframes will be created", file=sys.stderr)
             return
         self.ref_obs = max(n_tracked, 100)
-        self.map, kf_row, mp_idx = track_ops.insert_keyframe_with_points(
+        self.map, kf_row_dev, mp_idx = track_ops.insert_keyframe_with_points(
             self.cam, self.map, cur, fid, timestamp,
             self.cfg, client=self.client,
         )
         cur = cur._replace(mp_idx=mp_idx)
         self.last_kf_frame_id = fid
-        self.ref_kf = int(kf_row)
-        self._ref_kf_dev = jnp.int32(self.ref_kf)
+        self.ref_kf = kf_row
+        self._ref_kf_dev = kf_row_dev.astype(jnp.int32)  # no host sync
         self.stats.n_keyframes += 1
         self._kf_cursor_est += 1
         if self.mapping_queue_enabled:
-            self._mapping_step(int(kf_row))
+            self._enqueue_mapping_stages(kf_row)
 
-    def _mapping_step(self, kf_row: int):
-        """The per-keyframe LocalMapping pipeline (ref: LocalMapping.cc:44).
-        Fusion + local BA run per keyframe; the full-map maintenance passes
-        (culling, normal/descriptor refresh) alternate keyframes — they are
-        whole-map reductions whose freshness is not frame-critical."""
+    def _enqueue_mapping_stages(self, kf_row: int):
+        """Queue the per-keyframe LocalMapping pipeline (ref:
+        LocalMapping.cc:44) as individual device programs, drained one per
+        frame by _dispatch_fused (or all at once by flush) — the TPU
+        equivalent of the reference's mapping THREAD: tracking frames never
+        pay the whole insert+fuse+cull+BA chain inline. Fusion + local BA
+        run per keyframe; the full-map maintenance passes alternate
+        keyframes (whole-map reductions whose freshness is not
+        frame-critical)."""
+        q = self._stage_q
+        nk = self.stats.n_keyframes
         if self.sensor == "mono":
             # Mono landmarks only come from inter-keyframe triangulation
             # (CreateNewMapPoints, LocalMapping.cc:190); stereo/RGB-D spawn
             # from per-frame depth at keyframe creation instead.
-            self.map = triangulation.create_new_points(
-                self.cam, self.map, kf_row, self.cfg
-            )
-        self.map = local_mapping.fuse_into_kf(self.cam, self.map, kf_row, self.cfg)
-        if self.stats.n_keyframes % 2 == 0:
-            self.map = local_mapping.cull_map_points(self.map, kf_row, self.cfg)
-            self.map = local_mapping.refresh_point_geometry(
-                self.map, kf_row, self.cfg)
-        if self.stats.n_keyframes >= 3:
-            self.map = local_mapping.local_ba(self.cam, self.map, kf_row, self.cfg)
-        if self.stats.n_keyframes % 3 == 0 and self.stats.n_keyframes > 5:
-            # Redundant-keyframe culling (KeyFrameCulling, LocalMapping.cc:590).
-            self.map, kill = local_mapping.cull_keyframes(self.map, kf_row, self.cfg)
-            if self.loop_closer is not None:
-                self.loop_closer.db = self.loop_closer.db.remove(kill)
-        if self.stats.n_keyframes % 6 == 0 and self.stats.n_keyframes > 5:
+            q.append(lambda: setattr(
+                self, "map",
+                triangulation.create_new_points(
+                    self.cam, self.map, kf_row, self.cfg)))
+        q.append(lambda: setattr(
+            self, "map",
+            local_mapping.fuse_into_kf(self.cam, self.map, kf_row, self.cfg)))
+        if nk % 2 == 0:
+            q.append(lambda: setattr(
+                self, "map",
+                local_mapping.cull_map_points(self.map, kf_row, self.cfg)))
+            q.append(lambda: setattr(
+                self, "map",
+                local_mapping.refresh_point_geometry(
+                    self.map, kf_row, self.cfg)))
+        if nk >= 3:
+            q.append(lambda: setattr(
+                self, "map",
+                local_mapping.local_ba(self.cam, self.map, kf_row, self.cfg)))
+        if nk % 3 == 0 and nk > 5:
+            q.append(lambda: self._stage_cull_keyframes(kf_row))
+        if nk % 6 == 0 and nk > 5:
             # Episodic full-map hygiene: detach stragglers the bounded
             # cull/fuse windows may have missed (see local_mapping notes).
-            self.map = local_mapping.sweep_detached(self.map)
+            q.append(lambda: setattr(
+                self, "map", local_mapping.sweep_detached(self.map)))
         if self.loop_closer is not None:
-            self.map = self.loop_closer.process_keyframe(self.map, kf_row)
+            q.append(lambda: setattr(
+                self, "map",
+                self.loop_closer.process_keyframe(self.map, kf_row)))
+
+    def _run_stage(self):
+        self._stage_q.popleft()()
+
+    def _stage_cull_keyframes(self, kf_row: int):
+        """Redundant-keyframe culling (KeyFrameCulling, LocalMapping.cc:590)."""
+        self.map, kill = local_mapping.cull_keyframes(self.map, kf_row, self.cfg)
+        if self.loop_closer is not None:
+            self.loop_closer.db = self.loop_closer.db.remove(kill)
+
+    def _mapping_step(self, kf_row: int):
+        """Synchronous form of the per-keyframe pipeline (profiling tools +
+        tests drive it directly)."""
+        self._enqueue_mapping_stages(kf_row)
+        while self._stage_q:
+            self._run_stage()
 
     def _compact_map(self):
         """Repack the map (ms.compact) and remap every host row reference:

@@ -232,13 +232,13 @@ class GlobalBARunner:
                 from ..parallel import distributed_ba as dba
                 res = dba.optimize_dense(
                     self.cam, prob, self.mesh, n_iters=k,
-                    cg_iters=self.cfg.mapping.local_ba_cg_iters,
+                    cg_iters=self.cfg.loop.gba_cg_iters,
                     huber_iters=k if first else 0,
                 )
             else:
                 res = ba_dense.optimize(
                     self.cam, prob, n_iters=k,
-                    cg_iters=self.cfg.mapping.local_ba_cg_iters,
+                    cg_iters=self.cfg.loop.gba_cg_iters,
                     huber_iters=k if first else 0,
                 )
             # Block until the device finishes so abort is responsive at

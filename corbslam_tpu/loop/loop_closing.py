@@ -116,14 +116,21 @@ def compute_sim3(
         cam, cam, p1, p2, pair_ok, s2_q, s2_c, key,
         n_hyp=256, min_inliers=cfg.loop.min_sim3_inliers, fix_scale=fix_scale,
     )
-    # Refit on the consensus set (the role of Optimizer::OptimizeSim3,
-    # Optimizer.h:58 — closed form instead of 5 g2o iterations).
-    w = ransac.inliers.astype(jnp.float32)
-    R, t, s = sim3_solver.horn_sim3(p1, p2, fix_scale, w=w)
-    use = ransac.n_inliers >= 3
+    # Iterative robust refinement with inlier re-classification — the role
+    # of Optimizer::OptimizeSim3 (Optimizer.cc:1120, gated at
+    # GlobalOptimize.cpp:147-151): each round reclassifies EVERY candidate
+    # pair against the improving model, so matches the RANSAC consensus
+    # missed re-enter and borderline seams tighten.
+    R, t, s, ref_inl, n_ref = sim3_solver.refine_sim3_iterative(
+        cam, cam, p1, p2, pair_ok, s2_q, s2_c,
+        ransac.R, ransac.t, ransac.s, fix_scale=fix_scale, n_rounds=3,
+    )
+    use = (ransac.n_inliers >= 3) & (n_ref >= 3)
     R = jnp.where(use, R, ransac.R)
     t = jnp.where(use, t, ransac.t)
     s = jnp.where(use, s, ransac.s)
+    n_inliers = jnp.where(use, jnp.maximum(n_ref, ransac.n_inliers),
+                          ransac.n_inliers)
 
     # Widen: project the candidate's local map points into the query
     # keyframe with the implied pose Scw_q = S_qc ∘ Scw_c
@@ -149,10 +156,11 @@ def compute_sim3(
     n_total = jnp.sum(res2.idx >= 0)
     ok = (
         ransac.ok
+        & (n_inliers >= cfg.loop.min_sim3_inliers)
         & (n_bow >= cfg.loop.min_bow_matches)
         & (n_total >= cfg.loop.min_total_matches)
     )
-    return Sim3Between(R, t, s, n_bow, ransac.n_inliers, n_total, ok)
+    return Sim3Between(R, t, s, n_bow, n_inliers, n_total, ok)
 
 
 # ---------------------------------------------------------------------------

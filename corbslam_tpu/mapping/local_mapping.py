@@ -344,35 +344,38 @@ def find_redundant_keyframes(
 ) -> jnp.ndarray:
     """KeyFrameCulling (ref: LocalMapping.cc:590): a local keyframe is
     redundant when >= 90% of its landmarks are observed by at least 3 OTHER
-    keyframes at the same or finer scale. Candidates are the covisible
-    neighbors of the current keyframe (the reference walks exactly those).
-    Returns a [N] kill mask — row 0 (gauge), the current keyframe, and
-    fixed/foreign keyframes are never culled.
+    keyframes at the same or finer scale (scaleLevel + 1 rule,
+    LocalMapping.cc:613). Candidates are the covisible neighbors of the
+    current keyframe (the reference walks exactly those). Returns a [N]
+    kill mask — row 0 (gauge), the current keyframe, and fixed/foreign
+    keyframes are never culled.
+
+    One pass builds a per-landmark OCTAVE HISTOGRAM (cumulative over
+    levels), then each candidate's redundancy check is pure gathers —
+    replacing the per-candidate full-table segment-sum (8 x 4.2M scatter
+    elements, ~58 ms on-chip) with one 4.2M scatter + tiny gathers.
     """
     N, F, M = m.kf.capacity, m.kf.n_features, m.mp.capacity
+    L = cfg.orb.n_levels
     cand_rows, cand_ok = covis.top_covisible_of(m, kf_row, window)
 
     idx_all = m.kf.mp_idx
     contrib_all = (idx_all >= 0) & m.kf.fvalid & m.kf.valid[:, None]
-    oct_all = m.kf.octave
+    oct_c = jnp.clip(m.kf.octave, 0, L - 1)
+    bucket = jnp.where(
+        contrib_all, idx_all * L + oct_c, M * L
+    ).reshape(-1)
+    hist = jnp.zeros(M * L + 1, jnp.int32).at[bucket].add(1, mode="drop")
+    cum = jnp.cumsum(hist[: M * L].reshape(M, L), axis=1)  # [M, L]
 
     def redundancy(c, ok):
         idx_c = m.kf.mp_idx[c]
         bound = (idx_c >= 0) & m.kf.fvalid[c]
-        # Per-landmark octave threshold from THIS keyframe's observation
-        # (scaleLevel + 1 rule, LocalMapping.cc:613).
-        thr = jnp.full(M, -1, jnp.int32)
-        thr = thr.at[jnp.where(bound, idx_c, 0)].max(
-            jnp.where(bound, m.kf.octave[c] + 1, -1)
-        )
-        # Observations elsewhere at acceptable scale.
-        fine = contrib_all & (oct_all <= thr[jnp.clip(idx_all, 0)])
-        fine = fine & (jnp.arange(N) != c)[:, None]
-        counts = jax.ops.segment_sum(
-            fine.reshape(-1).astype(jnp.int32),
-            jnp.where(contrib_all, idx_all, 0).reshape(-1), M,
-        )
-        red = jnp.where(bound, counts[jnp.clip(idx_c, 0)] >= 3, False)
+        thr = jnp.clip(m.kf.octave[c] + 1, 0, L - 1)
+        # Observations anywhere at octave <= thr, minus this keyframe's own
+        # (its octave <= octave+1 always, so it is inside the cumulative).
+        n_others = cum[jnp.clip(idx_c, 0), thr] - 1
+        red = bound & (n_others >= 3)
         n_bound = jnp.sum(bound)
         ratio = jnp.sum(red) / jnp.maximum(n_bound, 1)
         return ok & (n_bound > 10) & (ratio > cfg.mapping.kf_cull_redundancy)

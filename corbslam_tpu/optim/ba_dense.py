@@ -50,6 +50,18 @@ class BADense(NamedTuple):
     C camera slots x Fb observation slots per camera. Inactive slots are
     masked by ``obs_active`` (their obs_mp must still be a clipped valid
     index in [0, P)).
+
+    ``pm_src``/``pm_ok`` (optional): the POINT-MAJOR gather table —
+    pm_src[p, k] is the flat camera-major index (c * Fb + f) of point p's
+    k-th observation. With it, every point-side reduction in the LM loop
+    becomes gather + row-sum instead of a segment-sum scatter: TPU
+    scatters serialize at ~30 ns/row (the 1M-row scatter inside each CG
+    iteration measured ~30 ms on-chip — the entire r3/r4 GBA wall), while
+    the equivalent gathers run at HBM speed. Observations past K per point
+    are dropped from obs_active at build time so camera- and point-side
+    sums stay consistent. Single-device only; the camera-sharded
+    distributed path keeps scatter + psum (a point's observations span
+    shards there).
     """
 
     Tcw: jnp.ndarray          # [C, 4, 4]
@@ -61,6 +73,37 @@ class BADense(NamedTuple):
     obs_inv_sigma2: jnp.ndarray  # [C, Fb]
     obs_stereo: jnp.ndarray   # [C, Fb] bool
     obs_active: jnp.ndarray   # [C, Fb] bool
+    pm_src: jnp.ndarray | None = None   # [P, K] i32 flat obs index
+    pm_ok: jnp.ndarray | None = None    # [P, K] bool
+
+
+def build_point_major(obs_mp: jnp.ndarray, obs_active: jnp.ndarray,
+                      P: int, K: int):
+    """Sort-based construction of the point-major gather table.
+
+    Returns (pm_src [P, K], pm_ok [P, K], active' [C, Fb]) where active'
+    drops observations beyond K per point (kept consistent on both sides
+    of the Schur product). One argsort + searchsorted at problem-build
+    time replaces ~every scatter in the LM loop."""
+    C, Fb = obs_mp.shape
+    O = C * Fb
+    ids_flat = jnp.where(obs_active, obs_mp, P).reshape(-1)
+    order = jnp.argsort(ids_flat)                      # stable
+    sorted_ids = ids_flat[order]
+    pts = jnp.arange(P, dtype=sorted_ids.dtype)
+    start = jnp.searchsorted(sorted_ids, pts)
+    end = jnp.searchsorted(sorted_ids, pts + 1)
+    k = jnp.arange(K, dtype=jnp.int32)
+    slot = start[:, None] + k[None, :]                 # [P, K]
+    pm_ok = slot < end[:, None]
+    pm_src = order[jnp.clip(slot, 0, O - 1)].astype(jnp.int32)
+    # Drop overflow observations (rank >= K within their point) from the
+    # active mask so camera-side sums see exactly the gathered set.
+    keep = jnp.zeros(O + 1, bool).at[
+        jnp.where(pm_ok, pm_src, O)
+    ].set(True, mode="drop")
+    active2 = obs_active & keep[:O].reshape(C, Fb)
+    return pm_src, pm_ok, active2
 
 
 class BADenseResult(NamedTuple):
@@ -160,14 +203,23 @@ def _seg3(vals, ids_flat, P, axis=None):
 
 
 def lm_step_dense(cam, p: BADense, active, lam, use_huber, cg_iters: int,
-                  axis: str | None = None):
-    """One LM iteration in plane layout; returns proposed (Tcw, X).
+                  axis: str | None = None, x0=None, cg_tol: float = 0.03):
+    """One LM iteration in plane layout; returns proposed
+    (Tcw, X, chi2, delta2, dc).
 
     `axis`: name of a mesh axis the CAMERA dimension is sharded over
     (shard_map). Point-side reductions and CG scalars psum across it;
     camera-side state stays local — the distributed-GBA layout
     (ref analog: the server's whole-map GlobalBundleAdjustemnt,
-    GlobalOptimize.cpp:444, scaled over chips instead of one CPU)."""
+    GlobalOptimize.cpp:444, scaled over chips instead of one CPU).
+
+    `x0`: warm start for the reduced-camera CG solve (the previous LM
+    iteration's step — consecutive LM systems differ only by the damping
+    and the small state move, so the old solution is a strong initial
+    guess). `cg_tol`: relative forcing tolerance — CG exits once the
+    preconditioned residual norm drops below cg_tol x that of b, so
+    converged solves stop paying for the fixed iteration budget (the
+    sequential CG scan dominated GBA wall time in r3)."""
     C, P = p.Tcw.shape[0], p.X.shape[0]
     lin = _linearize(cam, p)
     c2 = _chi2(lin)
@@ -183,13 +235,26 @@ def lm_step_dense(cam, p: BADense, active, lam, use_huber, cg_iters: int,
     free_p = (~p.point_fixed).astype(jnp.float32)
     ids_flat = jnp.where(active, p.obs_mp, P).reshape(-1)
 
-    # Point Hessians [P, 3, 3]: 6 symmetric entries in ONE packed scatter
-    # (~2.8x cheaper than six scalar scatters, tools/ablate_ba).
+    # Point-side reduction: gather + row-sum through the point-major table
+    # when available (single device), segment-sum scatter + psum otherwise
+    # (camera-sharded distributed path). See BADense.pm_src for why — the
+    # scatter costs ~30 ms per CG iteration at GBA scale on TPU.
+    use_pm = axis is None and p.pm_src is not None
+
+    def seg_multi(vals):
+        """list of [C, F] planes -> [P, len(vals)] summed per point."""
+        if use_pm:
+            flat = jnp.stack([v.reshape(-1) for v in vals], 0)  # [n, O]
+            g = jnp.where(p.pm_ok[None], flat[:, p.pm_src], 0.0)
+            return jnp.sum(g, axis=-1).T                        # [P, n]
+        packed = jnp.stack([v.reshape(-1) for v in vals], axis=-1)
+        return _psum(jax.ops.segment_sum(packed, ids_flat, P + 1)[:P], axis)
+
+    # Point Hessians [P, 3, 3]: 6 symmetric entries in ONE reduction.
     sym = [(0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)]
-    packed = jnp.stack([
-        jnp.sum(Jp_w[:, i] * Jp[:, j], axis=0).reshape(-1) for i, j in sym
-    ], axis=-1)                                         # [CF, 6]
-    hp = _psum(jax.ops.segment_sum(packed, ids_flat, P + 1)[:P], axis)
+    hp = seg_multi([
+        jnp.sum(Jp_w[:, i] * Jp[:, j], axis=0) for i, j in sym
+    ])
     e = {s: hp[:, k] for k, s in enumerate(sym)}
     Hpp = jnp.stack([
         jnp.stack([e[(min(i, j), max(i, j))] for j in range(3)], -1)
@@ -221,8 +286,7 @@ def lm_step_dense(cam, p: BADense, active, lam, use_huber, cg_iters: int,
         """S v in residual space; fixed cameras projected out."""
         vc = vc * free_c[:, None]
         a = jc_dot(vc)                                             # [3, C, F]
-        yv = _seg3([jnp.sum(Jp_w[:, i] * a, axis=0) for i in range(3)],
-                   ids_flat, P, axis)
+        yv = seg_multi([jnp.sum(Jp_w[:, i] * a, axis=0) for i in range(3)])
         zp = point_solve(yv)
         m = a - jp_dot(zp)
         Sv = jnp.einsum("rjcf,rcf->cj", Jc_w, m, precision=_PREC)
@@ -230,8 +294,7 @@ def lm_step_dense(cam, p: BADense, active, lam, use_huber, cg_iters: int,
         return Sv * free_c[:, None]
 
     # RHS: b = -sum Jc^T w (r - Jp z_g), z_g = Hpp_d^-1 (Jp^T w r).
-    gp = _seg3([jnp.sum(Jp_w[:, i] * r, axis=0) for i in range(3)],
-               ids_flat, P, axis)
+    gp = seg_multi([jnp.sum(Jp_w[:, i] * r, axis=0) for i in range(3)])
     z_g = point_solve(gp)
     m_b = r - jp_dot(z_g)
     b = -jnp.einsum("rjcf,rcf->cj", Jc_w, m_b, precision=_PREC) * free_c[:, None]
@@ -243,13 +306,34 @@ def lm_step_dense(cam, p: BADense, active, lam, use_huber, cg_iters: int,
     def precond(rv):
         return jnp.einsum("cij,cj->ci", Minv, rv, precision=_PREC) * free_c[:, None]
 
-    x0 = jnp.zeros_like(b)
-    r0 = b
+    # Forcing threshold from b itself (not the warm-started residual, which
+    # may already be small): solve to ||r||_Minv <= cg_tol * ||b||_Minv.
+    bz = _psum(jnp.sum(b * precond(b)), axis)
+    threshold = (cg_tol * cg_tol) * bz
+
+    if x0 is None:
+        xs = jnp.zeros_like(b)
+        r0 = b
+    else:
+        # Scaled warm start: xs = alpha * x0 with alpha minimizing
+        # ||b - alpha A x0||, so the start is never worse than cold
+        # (alpha -> 0 when the previous direction is useless). One extra
+        # matvec, typically saves several.
+        xd = x0 * free_c[:, None]
+        Ad = schur_mv(xd)
+        alpha = (_psum(jnp.sum(b * Ad), axis)
+                 / jnp.maximum(_psum(jnp.sum(Ad * Ad), axis), 1e-20))
+        xs = alpha * xd
+        r0 = b - alpha * Ad
     z0 = precond(r0)
     rz0 = _psum(jnp.sum(r0 * z0), axis)
 
-    def cg_body(state, _):
-        xv, rv, pdir, rz = state
+    def cg_cond(state):
+        _, _, _, rz, k = state
+        return (k < cg_iters) & (rz > threshold)
+
+    def cg_body(state):
+        xv, rv, pdir, rz, k = state
         Ap = schur_mv(pdir)
         pAp = _psum(jnp.sum(pdir * Ap), axis)
         alpha = rz / jnp.where(jnp.abs(pAp) < 1e-20, 1e-20, pAp)
@@ -258,20 +342,19 @@ def lm_step_dense(cam, p: BADense, active, lam, use_huber, cg_iters: int,
         zz = precond(rv)
         rz_new = _psum(jnp.sum(rv * zz), axis)
         beta = rz_new / jnp.where(jnp.abs(rz) < 1e-20, 1e-20, rz)
-        return (xv, rv, zz + beta * pdir, rz_new), None
+        return (xv, rv, zz + beta * pdir, rz_new, k + 1)
 
-    (dc, _, _, _), _ = jax.lax.scan(cg_body, (x0, r0, z0, rz0), None,
-                                    length=cg_iters)
+    dc, _, _, _, _ = jax.lax.while_loop(
+        cg_cond, cg_body, (xs, r0, z0, rz0, jnp.int32(0)))
 
     # Back-substitute: dp = -Hpp_d^-1 Jp^T w (r + Jc dc).
     ra = r + jc_dot(dc)
-    y2 = _seg3([jnp.sum(Jp_w[:, i] * ra, axis=0) for i in range(3)],
-               ids_flat, P, axis)
+    y2 = seg_multi([jnp.sum(Jp_w[:, i] * ra, axis=0) for i in range(3)])
     dp = -point_solve(y2)
 
     T_new = se3.retract(p.Tcw, dc)
     T_new = jnp.where(p.pose_fixed[:, None, None], p.Tcw, T_new)
-    return T_new, p.X + dp, c2, delta2
+    return T_new, p.X + dp, c2, delta2, dc
 
 
 def _total_cost(c2, delta2, act_f, use_huber):
@@ -315,10 +398,10 @@ def optimize_core(
         return _chi2(lin)
 
     def body(state, it):
-        p, lam, active = state
+        p, lam, active, dc_prev = state
         use_huber = it < huber_iters
-        T_new, X_new, c2_old, delta2 = lm_step_dense(
-            cam, p, active, lam, use_huber, cg_iters, axis)
+        T_new, X_new, c2_old, delta2, dc = lm_step_dense(
+            cam, p, active, lam, use_huber, cg_iters, axis, x0=dc_prev)
         p_new = p._replace(Tcw=T_new, X=X_new)
         c2_new = chi2_of(p_new)
         act_f = active.astype(jnp.float32)
@@ -335,11 +418,12 @@ def optimize_core(
         c2_cur = jnp.where(accept, c2_new, c2_old)
         reclass = active & (c2_cur <= delta2)
         active = jnp.where(it == huber_iters - 1, reclass, active)
-        return (p, lam, active), cost_old
+        return (p, lam, active, dc), cost_old
 
     active0 = problem.obs_active
-    (p, _, active), _ = jax.lax.scan(
-        body, (problem, jnp.float32(1e-4), active0), jnp.arange(n_iters)
+    dc0 = jnp.zeros((problem.Tcw.shape[0], 6), problem.Tcw.dtype)
+    (p, _, active, _), _ = jax.lax.scan(
+        body, (problem, jnp.float32(1e-4), active0, dc0), jnp.arange(n_iters)
     )
 
     c2 = chi2_of(p)
@@ -369,12 +453,15 @@ def compact_rows(ok: jnp.ndarray, budget: int) -> jnp.ndarray:
 
 
 def problem_from_map(
-    m, scale_factor: float, obs_per_kf: int, gauge_row: int = 0
+    m, scale_factor: float, obs_per_kf: int, gauge_row: int = 0,
+    pm_k: int = 24,
 ) -> BADense:
     """Flatten the full map into a BADense with a per-keyframe observation
     budget — the right-sized global-BA problem (GlobalBundleAdjustemnt's
     all-KFs/all-points graph, ref Optimizer.cc:43-54) that made the
-    capacity-sized [N*F] flattening OOM-proof."""
+    capacity-sized [N*F] flattening OOM-proof. `pm_k` caps observations
+    per point for the point-major gather table (overflow observations are
+    dropped; well-observed points lose only their weakest redundancy)."""
     idx = m.kf.mp_idx
     ok = (idx >= 0) & m.kf.fvalid & m.kf.valid[:, None]
     ok &= jnp.where(idx >= 0, m.mp.valid[jnp.clip(idx, 0)], False)
@@ -388,6 +475,9 @@ def problem_from_map(
     ur = take(m.kf.uright)
     inv_sigma2 = _inv_sigma2_of(take(m.kf.octave), scale_factor)
 
+    P = m.mp.pos.shape[0]
+    pm_src, pm_ok, active = build_point_major(ids, active, P, pm_k)
+
     pose_fixed = ~m.kf.valid | m.kf.fixed
     pose_fixed = pose_fixed.at[gauge_row].set(True)
     return BADense(
@@ -400,6 +490,8 @@ def problem_from_map(
         obs_inv_sigma2=inv_sigma2,
         obs_stereo=ur > 0,
         obs_active=active,
+        pm_src=pm_src,
+        pm_ok=pm_ok,
     )
 
 
@@ -425,6 +517,10 @@ def problem_from_window(m, sel, scale_factor: float) -> BADense:
     ur = m.kf.uright[sel.kf_rows]
     inv_sigma2 = _inv_sigma2_of(m.kf.octave[sel.kf_rows], scale_factor)
 
+    # A window point is observed by at most W cameras, so K = W loses
+    # nothing.
+    pm_src, pm_ok, ok = build_point_major(jnp.clip(compact, 0), ok, P, W)
+
     return BADense(
         Tcw=m.kf.Tcw[sel.kf_rows],
         pose_fixed=~(sel.kf_free & sel.kf_ok),
@@ -435,4 +531,6 @@ def problem_from_window(m, sel, scale_factor: float) -> BADense:
         obs_inv_sigma2=inv_sigma2,
         obs_stereo=ur > 0,
         obs_active=ok,
+        pm_src=pm_src,
+        pm_ok=pm_ok,
     )

@@ -283,6 +283,10 @@ def optimize_dense(
     full LM loop, return a result with the padding stripped."""
     C = problem.Tcw.shape[0]
     n_dev = mesh.devices.size
+    # The point-major gather table is single-device only (a point's
+    # observations span camera shards here) — drop it; the sharded loop
+    # uses segment-sum + psum.
+    problem = problem._replace(pm_src=None, pm_ok=None)
     padded = pad_cameras_dense(problem, n_dev)
     opt = make_dense_optimizer(cam, mesh, n_iters, cg_iters, huber_iters)
 

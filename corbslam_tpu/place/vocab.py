@@ -116,6 +116,39 @@ def load(path: str) -> Vocabulary:
     )
 
 
+def default_artifact_path() -> str:
+    """Repo-shipped universal vocabulary (assets/vocab32k.npz) — the
+    equivalent of the reference's Vocabulary/ORBvoc.txt argv path."""
+    import os
+
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), "assets", "vocab32k.npz")
+
+
+def load_default() -> "Vocabulary | None":
+    """Load the shipped artifact if present; None otherwise (callers then
+    fall back to inline bootstrap training for hermetic runs)."""
+    import os
+
+    p = default_artifact_path()
+    return load_any(p) if os.path.exists(p) else None
+
+
+def load_any(path: str) -> Vocabulary:
+    """Load either the packed artifact format (save()) or a raw
+    word_bits/idf npz (ad-hoc dumps from older runners)."""
+    import numpy as np
+
+    z = np.load(path)
+    if "word_bits_packed" in z:
+        return load(path)
+    return Vocabulary(
+        word_bits=jnp.asarray(z["word_bits"]),
+        idf=jnp.asarray(z["idf"], jnp.float32),
+    )
+
+
 def train_chunked(
     descriptors,  # [N, 32] uint8 packed (numpy ok)
     n_words: int = 32768,

@@ -211,4 +211,6 @@ class CorbslamClient:
             )
         # Resume allocation after the loaded rows.
         self.tracker.ref_kf = max(int(self.tracker.map.n_kf) - 1, 0)
+        self.tracker._ref_kf_dev = jnp.int32(self.tracker.ref_kf)
+        self.tracker._kf_cursor_est = int(self.tracker.map.n_kf)
         self.tracker.state = TrackState.LOST  # relocalize into the loaded map

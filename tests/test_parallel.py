@@ -112,9 +112,12 @@ class TestDistributedDenseBA:
 
     def test_single_device_mesh_is_exact(self, rng):
         """On a 1-device mesh all psums are identity, so the sharded
-        program must reproduce the plain engine bit-for-nearly-bit — a
+        program must reproduce the plain engine almost exactly — a
         regression guard that the collectives are placed correctly (any
-        double/missing psum breaks this immediately)."""
+        double/missing psum yields O(1) pose errors immediately). Not
+        bit-exact: the tolerance-gated CG exit can stop one iteration
+        apart between the two compiled programs when the residual sits at
+        the threshold, so allow ~1e-3."""
         from corbslam_tpu.optim import ba_dense
 
         _, dense = self._dense_problem(rng)
@@ -124,7 +127,7 @@ class TestDistributedDenseBA:
         res_1 = ba_dense.optimize(
             CAM, dense, n_iters=6, cg_iters=30, huber_iters=2)
         np.testing.assert_allclose(
-            np.asarray(res_s.Tcw), np.asarray(res_1.Tcw), atol=1e-4)
+            np.asarray(res_s.Tcw), np.asarray(res_1.Tcw), atol=1e-3)
 
     def test_sharded_reaches_single_device_quality(self, mesh, rng):
         """8-way sharding changes f32 reduction order, which CG amplifies

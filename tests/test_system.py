@@ -93,6 +93,7 @@ class TestSystemFacade:
             sensor="stereo", client_id=1, voc=None, enable_loop_closing=False,
         )
         drive(client, world, n=14, dx=0.015)
+        client.tracker.flush()  # drain deferred mapping stages (incl. culling)
         m = client.tracker.map
         n_alloc = int(m.n_kf)
         n_valid = int(jnp.sum(m.kf.valid))
