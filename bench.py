@@ -87,8 +87,9 @@ def bench_gba(cam, cfg):
     )
     m = m._replace(kf=kf, mp=mp, n_kf=jnp.int32(N_used), n_mp=jnp.int32(P_used))
 
-    prob = gba_mod.build_global_problem_dense(m, cfg)
-    n_iters, cg_iters = 10, 20
+    prob = gba_mod.build_global_problem_dense(
+        m, cfg, n_kf_hint=N_used, n_mp_hint=P_used)
+    n_iters, cg_iters = 10, cfg.loop.gba_cg_iters
     res = ba_dense.optimize(cam, prob, n_iters=n_iters, cg_iters=cg_iters,
                             huber_iters=3)
     jax.block_until_ready(res.Tcw)  # compile outside the timed window

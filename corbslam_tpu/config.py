@@ -105,7 +105,12 @@ class LoopConfig:
     pose_graph_iters: int = 20  # OptimizeEssentialGraph (Optimizer.cc:1032)
     global_ba_iters: int = 10  # GlobalOptimize.cpp:444
     gba_obs_per_kf: int = 512  # dense-plane GBA per-keyframe obs budget
-    gba_cg_iters: int = 24     # CG cap per LM iteration (tol-exited)
+    # Truncated-CG LM: warm-started, tolerance-exited CG capped per LM
+    # iteration — LM is robust to inexact inner solves, and each CG
+    # iteration costs a full gather pass over the observation planes.
+    # 24 is the quality knee on the loop-e2e orbit (16 -> ate_kf 0.084,
+    # 24/32 -> 0.076 = the converged optimum; 48 LM iters change nothing).
+    gba_cg_iters: int = 24
 
 
 @dataclass(frozen=True)

@@ -61,13 +61,42 @@ def build_global_problem(m: ms.MapState, cfg: SlamConfig) -> ba.BAProblem:
     )
 
 
-def build_global_problem_dense(m: ms.MapState, cfg: SlamConfig) -> ba_dense.BADense:
+def build_global_problem_dense(
+    m: ms.MapState, cfg: SlamConfig,
+    n_kf_hint: int | None = None, n_mp_hint: int | None = None,
+) -> ba_dense.BADense:
     """Right-sized whole-map BA problem in the tile-native plane layout:
     per-keyframe observation budget instead of the capacity-sized [N*F]
     flattening (which padded to 42.7 GB of HLO temps at flagship capacity
-    and OOMed the chip). This is the production GBA path."""
-    return ba_dense.problem_from_map(
-        m, cfg.orb.scale_factor, cfg.loop.gba_obs_per_kf)
+    and OOMed the chip). This is the production GBA path.
+
+    `n_kf_hint`/`n_mp_hint` (host ints) additionally slice the camera /
+    point axes to the used rows rounded up to 256 / 8192 (static shape
+    buckets, so jit variants stay bounded) — a 768-KF map then stops
+    paying for 2048 capacity rows in every gather of the LM loop. The
+    point-major table's K is sized from the map's actual max observations
+    per point (power-of-two bucket, cap 128) so no observation is dropped
+    on normal maps."""
+    pm_k = 24
+    if n_kf_hint is not None:
+        # One episodic host sync: the per-point observation count maximum.
+        idx = m.kf.mp_idx
+        ok = (idx >= 0) & m.kf.fvalid & m.kf.valid[:, None]
+        counts = jnp.zeros(m.mp.capacity + 1, jnp.int32).at[
+            jnp.where(ok, idx, m.mp.capacity).reshape(-1)
+        ].add(1, mode="drop")
+        max_obs = int(jnp.max(counts[:-1]))
+        pm_k = 8
+        while pm_k < max_obs and pm_k < 128:
+            pm_k *= 2
+    p = ba_dense.problem_from_map(
+        m, cfg.orb.scale_factor, cfg.loop.gba_obs_per_kf, pm_k=pm_k)
+    if n_kf_hint is not None:
+        Cr = ba_dense.round_up(n_kf_hint, 256, m.kf.capacity)
+        Pr = ba_dense.round_up(n_mp_hint or m.mp.capacity, 8192,
+                               m.mp.capacity)
+        p = ba_dense.slice_problem(p, Cr, Pr)
+    return p
 
 
 @jax.jit
@@ -186,16 +215,26 @@ class GlobalBARunner:
         # so a worker thread holding `m` races "Array has been deleted".
         # problem_from_map passes Tcw/X through as the LIVE map buffers
         # (ba_dense.py problem builders), so copy every leaf that aliases
-        # the map before handing off to the worker.
-        prob = build_global_problem_dense(m, self.cfg)
+        # the map before handing off to the worker. The problem is SLICED
+        # to the used rows (static buckets) so the LM loop stops paying
+        # for capacity padding; full-capacity copies of the original
+        # pose/point arrays are kept so the finished slice can be embedded
+        # back for the capacity-shaped merge.
+        n_kf_i, n_mp_i = int(m.n_kf), int(m.n_mp)
+        prob = build_global_problem_dense(
+            m, self.cfg, n_kf_hint=n_kf_i, n_mp_hint=n_mp_i)
         prob = prob._replace(
             Tcw=jnp.array(prob.Tcw, copy=True),
             X=jnp.array(prob.X, copy=True),
         )
+        Tcw_full = jnp.array(m.kf.Tcw, copy=True)
+        X_full = jnp.array(m.mp.pos, copy=True)
         jax.block_until_ready(prob.Tcw)
         jax.block_until_ready(prob.X)
         jax.block_until_ready(prob.obs_active)
-        snap = (prob, int(m.n_kf), int(m.n_mp))
+        jax.block_until_ready(Tcw_full)
+        jax.block_until_ready(X_full)
+        snap = (prob, n_kf_i, n_mp_i, Tcw_full, X_full)
         if self.synchronous:
             self._run(snap)
         else:
@@ -221,34 +260,42 @@ class GlobalBARunner:
 
     # ------------------------------------------------------------------
     def _run(self, snap):
-        prob, n_kf_snap, n_mp_snap = snap
+        prob, n_kf_snap, n_mp_snap, Tcw_full, X_full = snap
         done = 0
-        first = True
         while done < self.n_iters:
             if self._abort.is_set():
                 return
             k = min(self.chunk, self.n_iters - done)
+            # Huber kernels stay on for EVERY chunk (the reference's GBA
+            # keeps robust kernels for all 10 iterations,
+            # Optimizer.cc:54-120): the inlier re-classification of one
+            # optimize() call does not carry into the next chunk's
+            # obs_active, so a kernel-free later chunk would hand
+            # mismatched observations a plain-L2 vote strong enough to
+            # bend the whole map (post-loop seams have exactly those).
             if self.mesh is not None:
                 from ..parallel import distributed_ba as dba
                 res = dba.optimize_dense(
                     self.cam, prob, self.mesh, n_iters=k,
-                    cg_iters=self.cfg.loop.gba_cg_iters,
-                    huber_iters=k if first else 0,
+                    cg_iters=self.cfg.loop.gba_cg_iters, huber_iters=k,
                 )
             else:
                 res = ba_dense.optimize(
                     self.cam, prob, n_iters=k,
-                    cg_iters=self.cfg.loop.gba_cg_iters,
-                    huber_iters=k if first else 0,
+                    cg_iters=self.cfg.loop.gba_cg_iters, huber_iters=k,
                 )
             # Block until the device finishes so abort is responsive at
             # chunk granularity (the jit dispatch itself is async).
             jax.block_until_ready(res.cost)
             prob = prob._replace(Tcw=res.Tcw, X=res.X)
             done += k
-            first = False
+        # Embed the optimized slice back into capacity-shaped arrays for
+        # the merge (rows past the slice keep their pre-BA values; merge
+        # only reads rows < the snapshot cursors anyway).
+        Tcw_out = Tcw_full.at[: prob.Tcw.shape[0]].set(prob.Tcw)
+        X_out = X_full.at[: prob.X.shape[0]].set(prob.X)
         with self._lock:
-            self._result = (prob.Tcw, prob.X, n_kf_snap, n_mp_snap)
+            self._result = (Tcw_out, X_out, n_kf_snap, n_mp_snap)
         self.runs_finished += 1
 
     def try_merge(self, m: ms.MapState) -> ms.MapState:

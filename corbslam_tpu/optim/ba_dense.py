@@ -93,12 +93,24 @@ def build_point_major(obs_mp: jnp.ndarray, obs_active: jnp.ndarray,
     pts = jnp.arange(P, dtype=sorted_ids.dtype)
     start = jnp.searchsorted(sorted_ids, pts)
     end = jnp.searchsorted(sorted_ids, pts + 1)
+    count = end - start
     k = jnp.arange(K, dtype=jnp.int32)
-    slot = start[:, None] + k[None, :]                 # [P, K]
-    pm_ok = slot < end[:, None]
+    # Callers size K >= the map's max observations per point (see
+    # build_global_problem_dense), so normally nothing is dropped. If a
+    # point still overflows, sample its observations at an EVEN stride
+    # across its whole (camera-ordered = temporal) span — first-K kept
+    # the earliest cameras only, which systematically discarded the
+    # late-revisit observations of loop-closure landmarks and bent GBA
+    # toward a wrong optimum (r4 loop-e2e bisect: ate_kf 0.19 -> 0.09).
+    off_dense = jnp.broadcast_to(k[None, :], (P, K))
+    off_strided = (k[None, :] * count[:, None]) // K
+    over = (count > K)[:, None]
+    off = jnp.where(over, off_strided, off_dense)
+    slot = start[:, None] + off
+    pm_ok = off < count[:, None]
     pm_src = order[jnp.clip(slot, 0, O - 1)].astype(jnp.int32)
-    # Drop overflow observations (rank >= K within their point) from the
-    # active mask so camera-side sums see exactly the gathered set.
+    # Drop non-selected overflow observations from the active mask so
+    # camera-side sums see exactly the gathered set.
     keep = jnp.zeros(O + 1, bool).at[
         jnp.where(pm_ok, pm_src, O)
     ].set(True, mode="drop")
@@ -114,10 +126,10 @@ class BADenseResult(NamedTuple):
 
 
 class _Lin(NamedTuple):
-    r: jnp.ndarray        # [3, C, F] residual planes
-    Jc: jnp.ndarray       # [3, 6, C, F] pose-Jacobian planes
-    Jp: jnp.ndarray       # [3, 3, C, F] point-Jacobian planes
-    w3: jnp.ndarray       # [3, C, F] row weights (0 third row mono)
+    r: list               # 3 x [C, F] residual planes
+    Jc: list              # 3 x 6 x [C, F] pose-Jacobian planes
+    Jp: list              # 3 x 3 x [C, F] point-Jacobian planes
+    w3: list              # 3 x [C, F] row weights (0 third row mono)
     depth_ok: jnp.ndarray # [C, F]
 
 
@@ -126,7 +138,14 @@ def _linearize(cam: cam_mod.Intrinsics, p: BADense) -> _Lin:
 
     Symbolic expansion of reproj.linearize's J_pose = -A [I | -hat(p)] and
     J_point = -A R (left-multiplicative se3 update), with A the projection
-    differential — every entry a [C, F] plane."""
+    differential — every entry a [C, F] plane.
+
+    Planes are nested LISTS, not stacked [3, 6, C, F] tensors: every
+    consumer contracts over the tiny leading axes, and expressing those
+    contractions as unrolled elementwise ops keeps XLA on the VPU with
+    perfect (8,128) tiling. The einsum/dot_general forms forced MXU
+    layouts with multi-hundred-MB transposes — measured ~18 ms per CG
+    iteration at GBA scale vs sub-ms for the unrolled form."""
     R = se3.rotation(p.Tcw)          # [C, 3, 3]
     t = se3.translation(p.Tcw)       # [C, 3]
     ids = p.obs_mp                   # [C, F]
@@ -150,7 +169,7 @@ def _linearize(cam: cam_mod.Intrinsics, p: BADense) -> _Lin:
     u = fx * x * inv_z + cam.cx
     v = fy * y * inv_z + cam.cy
     ur = u - bf * inv_z
-    r = jnp.stack([p.obs_uvr[0] - u, p.obs_uvr[1] - v, p.obs_uvr[2] - ur])
+    r = [p.obs_uvr[0] - u, p.obs_uvr[1] - v, p.obs_uvr[2] - ur]
 
     # A rows: (a0, 0, a2), (0, b1, b2), (a0, 0, c2).
     a0 = fx * inv_z
@@ -161,31 +180,31 @@ def _linearize(cam: cam_mod.Intrinsics, p: BADense) -> _Lin:
     zero = jnp.zeros_like(x)
 
     # J_pose = -(A @ [I | -hat(p)]); -hat(p) = [[0,z,-y],[-z,0,x],[y,-x,0]].
-    Jc = jnp.stack([
-        jnp.stack([-a0, zero, -a2, -(a2 * y), -(a0 * z - a2 * x), a0 * y]),
-        jnp.stack([zero, -b1, -b2, -(-b1 * z + b2 * y), b2 * x, -(b1 * x)]),
-        jnp.stack([-a0, zero, -c2, -(c2 * y), -(a0 * z - c2 * x), a0 * y]),
-    ])  # [3, 6, C, F]
+    Jc = [
+        [-a0, zero, -a2, -(a2 * y), -(a0 * z - a2 * x), a0 * y],
+        [zero, -b1, -b2, -(-b1 * z + b2 * y), b2 * x, -(b1 * x)],
+        [-a0, zero, -c2, -(c2 * y), -(a0 * z - c2 * x), a0 * y],
+    ]  # 3 x 6 x [C, F]
 
     # J_point = -(A @ R): row0 = -(a0 R0j + a2 R2j), row1 = -(b1 R1j + b2 R2j),
     # row2 = -(a0 R0j + c2 R2j).
     R0 = [R[:, 0, j, None] for j in range(3)]
     R1 = [R[:, 1, j, None] for j in range(3)]
     R2 = [R[:, 2, j, None] for j in range(3)]
-    Jp = jnp.stack([
-        jnp.stack([-(a0 * R0[j] + a2 * R2[j]) for j in range(3)]),
-        jnp.stack([-(b1 * R1[j] + b2 * R2[j]) for j in range(3)]),
-        jnp.stack([-(a0 * R0[j] + c2 * R2[j]) for j in range(3)]),
-    ])  # [3, 3, C, F]
+    Jp = [
+        [-(a0 * R0[j] + a2 * R2[j]) for j in range(3)],
+        [-(b1 * R1[j] + b2 * R2[j]) for j in range(3)],
+        [-(a0 * R0[j] + c2 * R2[j]) for j in range(3)],
+    ]  # 3 x 3 x [C, F]
 
     wb = p.obs_inv_sigma2 * depth_ok
-    w3 = jnp.stack([wb, wb, jnp.where(p.obs_stereo, wb, 0.0)])
+    w3 = [wb, wb, jnp.where(p.obs_stereo, wb, 0.0)]
     return _Lin(r, Jc, Jp, w3, depth_ok)
 
 
 def _chi2(lin: _Lin) -> jnp.ndarray:
     """[C, F] weighted squared error per observation."""
-    return jnp.sum(lin.r * lin.r * lin.w3, axis=0)
+    return sum(lin.r[i] * lin.r[i] * lin.w3[i] for i in range(3))
 
 
 def _psum(x, axis):
@@ -227,18 +246,17 @@ def lm_step_dense(cam, p: BADense, active, lam, use_huber, cg_iters: int,
     rw = jnp.where(use_huber, reproj.huber_weights(c2, delta2), 1.0)
     act_f = active.astype(jnp.float32)
 
-    w = lin.w3 * (rw * act_f)          # [3, C, F] total row weights
     Jc, Jp, r = lin.Jc, lin.Jp, lin.r
-    Jc_w = Jc * w[:, None]             # [3, 6, C, F]
-    Jp_w = Jp * w[:, None]             # [3, 3, C, F]
+    w = [lin.w3[i] * (rw * act_f) for i in range(3)]   # 3 x [C, F]
+    Jc_w = [[Jc[i][j] * w[i] for j in range(6)] for i in range(3)]
+    Jp_w = [[Jp[i][j] * w[i] for j in range(3)] for i in range(3)]
     free_c = (~p.pose_fixed).astype(jnp.float32)
     free_p = (~p.point_fixed).astype(jnp.float32)
     ids_flat = jnp.where(active, p.obs_mp, P).reshape(-1)
 
     # Point-side reduction: gather + row-sum through the point-major table
     # when available (single device), segment-sum scatter + psum otherwise
-    # (camera-sharded distributed path). See BADense.pm_src for why — the
-    # scatter costs ~30 ms per CG iteration at GBA scale on TPU.
+    # (camera-sharded distributed path). See BADense.pm_src for why.
     use_pm = axis is None and p.pm_src is not None
 
     def seg_multi(vals):
@@ -253,7 +271,7 @@ def lm_step_dense(cam, p: BADense, active, lam, use_huber, cg_iters: int,
     # Point Hessians [P, 3, 3]: 6 symmetric entries in ONE reduction.
     sym = [(0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)]
     hp = seg_multi([
-        jnp.sum(Jp_w[:, i] * Jp[:, j], axis=0) for i, j in sym
+        sum(Jp_w[rr][i] * Jp[rr][j] for rr in range(3)) for i, j in sym
     ])
     e = {s: hp[:, k] for k, s in enumerate(sym)}
     Hpp = jnp.stack([
@@ -261,11 +279,21 @@ def lm_step_dense(cam, p: BADense, active, lam, use_huber, cg_iters: int,
         for i in range(3)
     ], -2)  # [P, 3, 3]
 
-    # Camera diagonal blocks [C, 6, 6]: row reductions, no scatter.
-    Hcc = jnp.einsum("ricf,rjcf->cij", Jc_w, Jc, precision=_PREC)
+    # Camera diagonal blocks [C, 6, 6]: unrolled row reductions over F
+    # (21 unique entries x 3 residual rows; pure VPU).
+    hcc = [[None] * 6 for _ in range(6)]
+    for i in range(6):
+        for j in range(i, 6):
+            hcc[i][j] = sum(
+                jnp.sum(Jc_w[rr][i] * Jc[rr][j], axis=-1) for rr in range(3)
+            )
+            hcc[j][i] = hcc[i][j]
+    Hcc = jnp.stack(
+        [jnp.stack([hcc[i][j] for j in range(6)], -1) for i in range(6)], -2
+    )  # [C, 6, 6]
 
-    hpp_diag = jnp.einsum("pii->pi", Hpp)
-    hcc_diag = jnp.einsum("cii->ci", Hcc)
+    hpp_diag = jnp.stack([e[(i, i)] for i in range(3)], -1)    # [P, 3]
+    hcc_diag = jnp.stack([hcc[i][i] for i in range(6)], -1)    # [C, 6]
     Hpp_d = Hpp + (lam * hpp_diag + 1e-6)[..., None] * jnp.eye(3)
     Lpp = chol_unrolled(Hpp_d, 3)
 
@@ -273,38 +301,58 @@ def lm_step_dense(cam, p: BADense, active, lam, use_huber, cg_iters: int,
         return chol_solve_factored(Lpp, yv, 3) * free_p[:, None]
 
     def jc_dot(vc):
-        """[C, 6] -> a[r] = Jc v planes [3, C, F] (camera idx == row)."""
-        return jnp.einsum("rjcf,cj->rcf", Jc, vc, precision=_PREC)
+        """[C, 6] -> a[r] = Jc v planes, 3 x [C, F] (camera idx == row)."""
+        return [
+            sum(Jc[rr][j] * vc[:, j, None] for j in range(6))
+            for rr in range(3)
+        ]
 
     def jp_dot(zp):
-        """[P, 3] -> Jp z planes [3, C, F] (one packed row gather)."""
+        """[P, 3] -> Jp z planes 3 x [C, F] (one packed row gather)."""
         zg_rows = zp[p.obs_mp]                          # [C, F, 3]
-        zg = jnp.stack([zg_rows[..., j] for j in range(3)])
-        return jnp.einsum("rjcf,jcf->rcf", Jp, zg, precision=_PREC)
+        return [
+            sum(Jp[rr][j] * zg_rows[..., j] for j in range(3))
+            for rr in range(3)
+        ]
+
+    def jcw_T(m3):
+        """3 x [C, F] planes -> [C, 6]: sum_r sum_f Jc_w[r][j] * m3[r]."""
+        return jnp.stack([
+            sum(jnp.sum(Jc_w[rr][j] * m3[rr], axis=-1) for rr in range(3))
+            for j in range(6)
+        ], -1)
 
     def schur_mv(vc):
         """S v in residual space; fixed cameras projected out."""
         vc = vc * free_c[:, None]
-        a = jc_dot(vc)                                             # [3, C, F]
-        yv = seg_multi([jnp.sum(Jp_w[:, i] * a, axis=0) for i in range(3)])
+        a = jc_dot(vc)                                  # 3 x [C, F]
+        yv = seg_multi([
+            sum(Jp_w[rr][i] * a[rr] for rr in range(3)) for i in range(3)
+        ])
         zp = point_solve(yv)
-        m = a - jp_dot(zp)
-        Sv = jnp.einsum("rjcf,rcf->cj", Jc_w, m, precision=_PREC)
+        jz = jp_dot(zp)
+        Sv = jcw_T([a[rr] - jz[rr] for rr in range(3)])
         Sv = Sv + (lam * hcc_diag + 1e-8) * vc
         return Sv * free_c[:, None]
 
     # RHS: b = -sum Jc^T w (r - Jp z_g), z_g = Hpp_d^-1 (Jp^T w r).
-    gp = seg_multi([jnp.sum(Jp_w[:, i] * r, axis=0) for i in range(3)])
+    gp = seg_multi([
+        sum(Jp_w[rr][i] * r[rr] for rr in range(3)) for i in range(3)
+    ])
     z_g = point_solve(gp)
-    m_b = r - jp_dot(z_g)
-    b = -jnp.einsum("rjcf,rcf->cj", Jc_w, m_b, precision=_PREC) * free_c[:, None]
+    jzg = jp_dot(z_g)
+    b = -jcw_T([r[rr] - jzg[rr] for rr in range(3)]) * free_c[:, None]
 
     # Block-Jacobi preconditioner from damped camera blocks.
     Hcc_d = Hcc + (lam * hcc_diag + 1e-8)[..., None] * jnp.eye(6)
     Minv = inv_spd_unrolled(Hcc_d, 6)
 
     def precond(rv):
-        return jnp.einsum("cij,cj->ci", Minv, rv, precision=_PREC) * free_c[:, None]
+        """[C, 6] -> Minv rv, unrolled 6x6 (36 small [C] ops)."""
+        out = jnp.stack([
+            sum(Minv[:, i, j] * rv[:, j] for j in range(6)) for i in range(6)
+        ], -1)
+        return out * free_c[:, None]
 
     # Forcing threshold from b itself (not the warm-started residual, which
     # may already be small): solve to ||r||_Minv <= cg_tol * ||b||_Minv.
@@ -348,8 +396,11 @@ def lm_step_dense(cam, p: BADense, active, lam, use_huber, cg_iters: int,
         cg_cond, cg_body, (xs, r0, z0, rz0, jnp.int32(0)))
 
     # Back-substitute: dp = -Hpp_d^-1 Jp^T w (r + Jc dc).
-    ra = r + jc_dot(dc)
-    y2 = seg_multi([jnp.sum(Jp_w[:, i] * ra, axis=0) for i in range(3)])
+    jd = jc_dot(dc)
+    y2 = seg_multi([
+        sum(Jp_w[rr][i] * (r[rr] + jd[rr]) for rr in range(3))
+        for i in range(3)
+    ])
     dp = -point_solve(y2)
 
     T_new = se3.retract(p.Tcw, dc)
@@ -493,6 +544,30 @@ def problem_from_map(
         pm_src=pm_src,
         pm_ok=pm_ok,
     )
+
+
+def slice_problem(p: BADense, Cr: int, Pr: int) -> BADense:
+    """Right-size a capacity-shaped problem to its USED rows (rounded-up
+    static shapes): every plane, gather, and reduction in the LM loop
+    scales with C x Fb and P, so running a 768-keyframe map at the
+    2048-row capacity pays 2.7x on everything. Active observations only
+    reference cameras < n_kf and points < n_mp, so slicing is lossless;
+    pm table entries for dropped rows vanish with the rows."""
+    t = lambda a: a[:Cr]
+    return p._replace(
+        Tcw=t(p.Tcw), pose_fixed=t(p.pose_fixed),
+        X=p.X[:Pr], point_fixed=p.point_fixed[:Pr],
+        obs_mp=jnp.minimum(t(p.obs_mp), Pr - 1),
+        obs_uvr=p.obs_uvr[:, :Cr],
+        obs_inv_sigma2=t(p.obs_inv_sigma2), obs_stereo=t(p.obs_stereo),
+        obs_active=t(p.obs_active),
+        pm_src=None if p.pm_src is None else p.pm_src[:Pr],
+        pm_ok=None if p.pm_ok is None else p.pm_ok[:Pr],
+    )
+
+
+def round_up(n: int, step: int, cap: int) -> int:
+    return min(cap, max(step, ((n + step - 1) // step) * step))
 
 
 def problem_from_window(m, sel, scale_factor: float) -> BADense:
