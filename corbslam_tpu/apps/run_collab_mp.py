@@ -37,6 +37,9 @@ def _force_cpu():
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    from ..hostcache import configure_cpu_cache
+
+    configure_cpu_cache()
 
 
 def _build_cfg():
@@ -242,7 +245,10 @@ def _spawn(role, extra, env=None, cpu: int = -1):
             print("[fleet] taskset not available; running unpinned",
                   file=sys.stderr)
     e = dict(os.environ)
-    e.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.jax_cache"))
+    # CPU workers must not touch the TPU cache (/root/.jax_cache): foreign
+    # XLA:CPU AOT entries can SIGILL after a container migration.
+    from ..hostcache import cpu_cache_dir
+    e["JAX_COMPILATION_CACHE_DIR"] = cpu_cache_dir()
     if env:
         e.update(env)
     return subprocess.Popen(cmd, env=e)

@@ -566,9 +566,15 @@ class StereoTracker:
                 local_mapping.refresh_point_geometry(
                     self.map, kf_row, self.cfg)))
         if nk >= 3:
-            q.append(lambda: setattr(
-                self, "map",
-                local_mapping.local_ba(self.cam, self.map, kf_row, self.cfg)))
+            # Local BA split across two frames: robust phase, then plain
+            # polish + writeback (see local_mapping.local_ba_build — no
+            # single frame pays the whole LM loop). State crosses stages
+            # through `st`; between them only tracking runs, which never
+            # touches the quantities the writeback writes.
+            st: dict = {}
+            q.append(lambda: self._stage_local_ba_build(kf_row, st))
+            q.append(lambda: self._stage_local_ba_a(st))
+            q.append(lambda: self._stage_local_ba_b(st))
         if nk % 3 == 0 and nk > 5:
             q.append(lambda: self._stage_cull_keyframes(kf_row))
         if nk % 6 == 0 and nk > 5:
@@ -583,6 +589,38 @@ class StereoTracker:
 
     def _run_stage(self):
         self._stage_q.popleft()()
+
+    def _stage_local_ba_build(self, kf_row: int, st: dict):
+        """Local BA stage 0: window selection + problem build (a full
+        observation-table scan — its own frame)."""
+        st["sel"], st["prob"] = local_mapping.local_ba_build(
+            self.map, kf_row, self.cfg)
+
+    def _stage_local_ba_a(self, st: dict):
+        """Local BA stage 1: robust LM phase."""
+        from ..optim import ba_dense
+
+        n1 = max(self.cfg.mapping.local_ba_iters - 2, 1)
+        st["res"] = ba_dense.optimize(
+            self.cam, st["prob"], n_iters=n1,
+            cg_iters=self.cfg.mapping.local_ba_cg_iters, huber_iters=3)
+
+    def _stage_local_ba_b(self, st: dict):
+        """Local BA stage 2: plain polish on the reclassified inliers +
+        writeback into the (one-frame-newer) map."""
+        from ..optim import ba_dense
+
+        sel, prob, res = st["sel"], st["prob"], st["res"]
+        prob2 = prob._replace(
+            Tcw=res.Tcw, X=res.X, obs_active=prob.obs_active & res.inlier)
+        res2 = ba_dense.optimize(
+            self.cam, prob2, n_iters=2,
+            cg_iters=self.cfg.mapping.local_ba_cg_iters, huber_iters=0)
+        self.map = local_mapping.local_ba_writeback(
+            self.map, sel.kf_rows, sel.kf_free, sel.kf_ok,
+            sel.mp_rows, sel.mp_ok,
+            res2.Tcw, res2.X, res2.inlier, prob.obs_active,
+        )
 
     def _stage_cull_keyframes(self, kf_row: int):
         """Redundant-keyframe culling (KeyFrameCulling, LocalMapping.cc:590)."""

@@ -286,6 +286,50 @@ def local_ba(
     return m
 
 
+# -- Split local BA (amortized two-stage form) ------------------------------
+#
+# The fused `local_ba` program costs the whole LM loop on ONE frame
+# (~50-75 ms on-chip) — the dominant stage-frame latency spike. The split
+# form runs the robust phase in one stage and the plain polish + writeback
+# in the next, so no single frame pays more than ~half; correctness is
+# unaffected because between the two stages only a tracking frame runs,
+# which never moves keyframe poses, landmark positions, or keyframe
+# observation tables (the quantities the writeback touches).
+
+@partial(jax.jit, static_argnames=("cfg",))
+def local_ba_build(m: ms.MapState, kf_row, cfg: SlamConfig):
+    """Window selection + problem build as one program (no donation: the
+    map lives on)."""
+    sel = select_local_ba_window(
+        m, kf_row, cfg.mapping.local_ba_window, cfg.mapping.local_ba_window // 2
+    )
+    prob = ba_dense.problem_from_window(m, sel, cfg.orb.scale_factor)
+    return sel, prob
+
+
+@jax.jit
+def local_ba_writeback(
+    m: ms.MapState, kf_rows, kf_free, kf_ok, mp_rows, mp_ok,
+    Tcw_opt, X_opt, inlier, obs_active,
+) -> ms.MapState:
+    """Fold an optimized window back into the map (poses, points, outlier
+    detachment) — the tail of `local_ba` as its own program."""
+    wrote_T = jnp.where(
+        (kf_free & kf_ok)[:, None, None], Tcw_opt, m.kf.Tcw[kf_rows]
+    )
+    kf = m.kf._replace(Tcw=m.kf.Tcw.at[kf_rows].set(wrote_T))
+    wrote_X = jnp.where(
+        (mp_ok & ~m.mp.fixed[mp_rows])[:, None], X_opt, m.mp.pos[mp_rows]
+    )
+    mp = m.mp._replace(pos=m.mp.pos.at[mp_rows].set(wrote_X))
+    m = m._replace(kf=kf, mp=mp)
+    out2d = (~inlier) & obs_active
+    cur_idx = m.kf.mp_idx[kf_rows]
+    new_idx = jnp.where(out2d, NO_MP, cur_idx)
+    return m._replace(
+        kf=m.kf._replace(mp_idx=m.kf.mp_idx.at[kf_rows].set(new_idx)))
+
+
 @partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
 def refresh_point_geometry(m: ms.MapState, kf_row, cfg: SlamConfig) -> ms.MapState:
     """Recompute normals + representative descriptors for the points the

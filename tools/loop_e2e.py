@@ -16,23 +16,14 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
-# CPU-only cache keyed by host fingerprint (see tests/conftest.py: foreign
-# AOT entries segfault on load).
-import hashlib
-
-try:
-    with open("/proc/cpuinfo") as _f:
-        _flags = next((l for l in _f if l.startswith("flags")), "")
-except OSError:
-    _flags = ""
-_CACHE = "/root/.jax_cache_cpu_" + hashlib.sha1(_flags.encode()).hexdigest()[:10]
-os.environ["JAX_COMPILATION_CACHE_DIR"] = _CACHE
-
 import jax
 
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", _CACHE)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# CPU-only cache keyed by host fingerprint (corbslam_tpu/hostcache.py:
+# foreign XLA:CPU AOT entries segfault/SIGILL on load).
+from corbslam_tpu.hostcache import configure_cpu_cache
+
+configure_cpu_cache()
 import jax.numpy as jnp
 import numpy as np
 
