@@ -40,30 +40,44 @@ from .transport import Transport
 class IdMap:
     """Bidirectional row <-> gid bookkeeping for one map's entity class.
 
-    gid = origin_cid * stride + origin_row, and origin_row < capacity <<
-    stride, so the reverse map is a dense [cid][gid % stride] table — all
-    lookups are vectorized numpy indexing, no per-gid Python loops.
+    gid = origin_cid * stride + origin-local UID. Own uids come from a
+    monotone counter (NOT the row index): map compaction renumbers rows,
+    and row-derived gids would collide with the server's existing entities
+    once a reclaimed row is reused. Uids stay < stride for any realistic
+    run (stride = 1e6), so the reverse map is a dense [cid][gid % stride]
+    table, grown on demand — all lookups are vectorized numpy indexing,
+    no per-gid Python loops.
     """
 
     def __init__(self, capacity: int, cid: int, stride: int):
         self.gid_of_row = np.full(capacity, -1, np.int64)
-        self._row_of: Dict[int, np.ndarray] = {}  # origin cid -> [stride-local] rows
+        self._row_of: Dict[int, np.ndarray] = {}  # origin cid -> [local-id] rows
         self.cid = cid
         self.stride = stride
         self.capacity = capacity
 
-    def _table(self, cid: int) -> np.ndarray:
+    def _table(self, cid: int, need: int = 0) -> np.ndarray:
         t = self._row_of.get(cid)
         if t is None:
-            t = np.full(self.capacity, -1, np.int32)
+            t = np.full(max(self.capacity, need), -1, np.int32)
             self._row_of[cid] = t
+        elif need > len(t):
+            n = len(t)
+            while n < need:
+                n *= 2
+            t2 = np.full(n, -1, np.int32)
+            t2[: len(t)] = t
+            self._row_of[cid] = t2
+            t = t2
         return t
 
-    def assign_own(self, rows: np.ndarray):
+    def assign_own(self, rows: np.ndarray, uids: np.ndarray):
         rows = np.asarray(rows, np.int64)
-        gids = self.cid * self.stride + rows
+        uids = np.asarray(uids, np.int64)
+        gids = self.cid * self.stride + uids
         self.gid_of_row[rows] = gids
-        self._table(self.cid)[rows] = rows.astype(np.int32)
+        t = self._table(self.cid, int(uids.max()) + 1 if len(uids) else 0)
+        t[uids] = rows.astype(np.int32)
         return gids
 
     def assign_foreign(self, rows: np.ndarray, gids: np.ndarray):
@@ -72,7 +86,9 @@ class IdMap:
         self.gid_of_row[rows] = gids
         for c in np.unique(gids // self.stride):
             sel = (gids // self.stride) == c
-            self._table(int(c))[gids[sel] % self.stride] = rows[sel].astype(np.int32)
+            loc = gids[sel] % self.stride
+            t = self._table(int(c), int(loc.max()) + 1 if len(loc) else 0)
+            t[loc] = rows[sel].astype(np.int32)
 
     def rows_for(self, gids: np.ndarray) -> np.ndarray:
         gids = np.asarray(gids, np.int64)
@@ -81,14 +97,30 @@ class IdMap:
         for c in np.unique(gids[valid] // self.stride):
             sel = valid & ((gids // self.stride) == c)
             loc = gids[sel] % self.stride
-            in_range = loc < self.capacity
+            t = self._table(int(c))
+            in_range = loc < len(t)
             vals = np.full(len(loc), -1, np.int32)
-            vals[in_range] = self._table(int(c))[loc[in_range]]
+            vals[in_range] = t[loc[in_range]]
             out[sel] = vals
         return out
 
     def known_mask(self, gids: np.ndarray) -> np.ndarray:
         return self.rows_for(gids) >= 0
+
+    def remap_rows(self, old2new: np.ndarray):
+        """Apply a map-compaction row permutation: surviving rows keep
+        their gids at their new positions; dropped rows' gids retire."""
+        old2new = np.asarray(old2new)
+        new_gid = np.full_like(self.gid_of_row, -1)
+        sel = (self.gid_of_row >= 0) & (old2new >= 0)
+        new_gid[old2new[sel]] = self.gid_of_row[sel]
+        self.gid_of_row = new_gid
+        # Rebuild every reverse table from the surviving forward map.
+        rows = np.nonzero(new_gid >= 0)[0]
+        gids = new_gid[rows]
+        self._row_of = {}
+        if len(rows):
+            self.assign_foreign(rows, gids)
 
 
 class ClientCache:
@@ -127,6 +159,21 @@ class ClientCache:
         self._lock = threading.Lock()
         self._uq: Optional[queue.Queue] = None
         self._uplink_thread: Optional[threading.Thread] = None
+        # Stable per-row identity for OWN entities: uids from a monotone
+        # counter, assigned in row order the first time a row is seen by
+        # the uplink builder. Row-derived gids would collide after map
+        # compaction reuses row numbers (SURVEY.md §5.7).
+        self._kf_uid = np.full(cap.max_keyframes, -1, np.int64)
+        self._mp_uid = np.full(cap.max_map_points, -1, np.int64)
+        self._next_kf_uid = 0
+        self._next_mp_uid = 0
+        # Bumped by remap_rows (map compaction); an uplink cycle built
+        # against the old numbering aborts its commit and retries.
+        self._gen = 0
+        # Compaction hook: the tracker invokes on_compact callbacks with
+        # the CompactResult after repacking.
+        if hasattr(tracker, "on_compact"):
+            tracker.on_compact.append(self.remap_rows)
         transport.register_client(cid)
 
     # ------------------------------------------------------------------
@@ -208,6 +255,7 @@ class ClientCache:
         for build in (self._build_new_mps, self._build_new_kfs,
                       self._build_pose_deltas, self._build_pos_deltas):
             with self._lock:
+                gen = self._gen
                 prep = build(m)
             if prep is None:
                 continue  # nothing to push for this stage
@@ -216,6 +264,12 @@ class ClientCache:
                 self.stats["failed_calls"] += 1
                 return False
             with self._lock:
+                if self._gen != gen:
+                    # Map compacted mid-flight: the build's row numbering
+                    # is stale. Abort the cycle; the next period re-pushes
+                    # the same GIDS (stable uids), which the server
+                    # deduplicates — nothing is lost or duplicated.
+                    return False
                 commit()
         return True
 
@@ -228,6 +282,24 @@ class ClientCache:
         fx = np.asarray(fixed_arr[lo:hi])
         return rows[(cl == self.cid) & vd & ~fx]
 
+    def _kf_uids_up_to(self, hi: int) -> np.ndarray:
+        """Assign uids (monotone, row order) to keyframe rows < hi that
+        lack one; returns the row->uid view. Called under the lock."""
+        missing = np.nonzero(self._kf_uid[:hi] < 0)[0]
+        if len(missing):
+            self._kf_uid[missing] = np.arange(
+                self._next_kf_uid, self._next_kf_uid + len(missing))
+            self._next_kf_uid += len(missing)
+        return self._kf_uid
+
+    def _mp_uids_up_to(self, hi: int) -> np.ndarray:
+        missing = np.nonzero(self._mp_uid[:hi] < 0)[0]
+        if len(missing):
+            self._mp_uid[missing] = np.arange(
+                self._next_mp_uid, self._next_mp_uid + len(missing))
+            self._next_mp_uid += len(missing)
+        return self._mp_uid
+
     def _build_new_mps(self, m: ms.MapState):
         """Build the new-map-point push (called under the lock). Returns
         (service, msg, commit) or None; `commit` runs under the lock after
@@ -238,8 +310,11 @@ class ClientCache:
         if len(rows) == 0:
             self.synced_mp = hi
             return None
-        gids = self.cid * self.mp_ids.stride + rows
+        uids = self._mp_uids_up_to(hi)[rows]
+        gids = self.cid * self.mp_ids.stride + uids
         ref_rows = np.asarray(m.mp.ref_kf[rows])
+        kf_uid = self._kf_uids_up_to(int(m.n_kf))
+        ref_uid = kf_uid[np.clip(ref_rows, 0, None)]
         pos = np.asarray(m.mp.pos[rows])
         msg = wire.mp_insert_msg(
             gid=gids, client=np.full(len(rows), self.cid, np.int32),
@@ -248,11 +323,14 @@ class ClientCache:
             desc=np.asarray(m.mp.desc[rows]),
             min_dist=np.asarray(m.mp.min_dist[rows]),
             max_dist=np.asarray(m.mp.max_dist[rows]),
-            ref_kf_gid=self.cid * self.kf_ids.stride + ref_rows.astype(np.int64),
+            ref_kf_gid=np.where(
+                ref_rows >= 0,
+                self.cid * self.kf_ids.stride + ref_uid, -1
+            ).astype(np.int64),
         )
 
         def commit():
-            self.mp_ids.assign_own(rows)
+            self.mp_ids.assign_own(rows, uids)
             self._mp_pos_snap[rows] = pos
             self.synced_mp = hi
             self.stats["mps_pushed"] += len(rows)
@@ -266,7 +344,8 @@ class ClientCache:
         if len(rows) == 0:
             self.synced_kf = hi
             return None
-        gids = self.cid * self.kf_ids.stride + rows
+        uids = self._kf_uids_up_to(hi)[rows]
+        gids = self.cid * self.kf_ids.stride + uids
         mp_idx = np.asarray(m.kf.mp_idx[rows])  # [K, F] local rows
         mp_gid = np.where(
             mp_idx >= 0, self.mp_ids.gid_of_row[np.clip(mp_idx, 0, None)], -1
@@ -288,7 +367,7 @@ class ClientCache:
         )
 
         def commit():
-            self.kf_ids.assign_own(rows)
+            self.kf_ids.assign_own(rows, uids)
             self._kf_pose_snap[rows] = Tcw
             self.synced_kf = hi
             self.stats["kfs_pushed"] += len(rows)
@@ -342,6 +421,35 @@ class ClientCache:
             self.stats["mp_pos_pushed"] += len(rows)
 
         return wire.SRV_UPDATE_MPS, msg, commit
+
+    def remap_rows(self, res) -> None:
+        """Apply a map compaction (mapstate.CompactResult) to every
+        row-addressed structure: id maps, uid tables, ack snapshots, and
+        the sync cursors (stable repack: surviving rows below a cursor
+        stay below it, so the cursor becomes the survivor count). Bumps
+        the generation so an uplink cycle built against the old numbering
+        aborts its commit — with stable uids the retry re-sends the same
+        gids and the server deduplicates. This is what lets §5.7
+        compaction stay ENABLED under collaboration (the r3 gap)."""
+        kmap = np.asarray(res.kf_old2new)
+        pmap = np.asarray(res.mp_old2new)
+        with self._lock:
+            self._gen += 1
+            self.kf_ids.remap_rows(kmap)
+            self.mp_ids.remap_rows(pmap)
+
+            def permute(arr, old2new, fill):
+                out = np.full_like(arr, fill)
+                sel = old2new >= 0
+                out[old2new[sel]] = arr[sel]
+                return out
+
+            self._kf_uid = permute(self._kf_uid, kmap, -1)
+            self._mp_uid = permute(self._mp_uid, pmap, -1)
+            self._kf_pose_snap = permute(self._kf_pose_snap, kmap, 0.0)
+            self._mp_pos_snap = permute(self._mp_pos_snap, pmap, 0.0)
+            self.synced_kf = int((kmap[: self.synced_kf] >= 0).sum())
+            self.synced_mp = int((pmap[: self.synced_mp] >= 0).sum())
 
     def request_resync(self) -> bool:
         """Ask the server to replay the full global map in chunks — the

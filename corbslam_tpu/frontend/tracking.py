@@ -86,10 +86,11 @@ class StereoTracker:
         self.mapping_queue_enabled = True
         # Row compaction (SURVEY.md §5.7 eviction): when the append-only
         # keyframe cursor nears capacity, repack valid rows to the front
-        # and remap host references. Disabled under collaboration (the
-        # client cache's gid<->row maps would need remapping too; collab
-        # runs use capacities sized for their sequence length).
+        # and remap host references. Subscribers with row-addressed state
+        # (the collab ClientCache) register on_compact callbacks and are
+        # remapped atomically with the repack.
         self.compaction_enabled = True
+        self.on_compact: list = []
         self._kf_cursor_est = 0  # host estimate of the device cursor
         self._compact_cooldown = 0  # frame id gate after a fruitless repack
         self.sensor = "stereo"
@@ -660,6 +661,8 @@ class StereoTracker:
             self.last_frame = self.last_frame._replace(mp_idx=idx)
         if self.loop_closer is not None:
             self.loop_closer.remap_rows(res)
+        for cb in self.on_compact:
+            cb(res)
         self._kf_cursor_est = int(self.map.n_kf)
         if self._kf_cursor_est >= int(0.85 * self.cfg.capacity.max_keyframes):
             # Map genuinely full (culling freed nothing): back off so a

@@ -73,10 +73,11 @@ class CorbslamClient:
                 loop_closer=self.loop_closer,
             )
             self.cache.start_async_uplink()
-            # Compaction renumbers rows; the cache's gid<->row maps and
-            # ack snapshots are row-addressed, so collab runs keep the
-            # append-only cursor (capacities are sized per sequence).
-            self.tracker.compaction_enabled = False
+            # Compaction stays ENABLED under collaboration (the r3 gap):
+            # the cache registers an on_compact callback that remaps its
+            # gid<->row maps, uid tables, snapshots and cursors atomically
+            # with the repack; own identity is uid-based so reclaimed row
+            # numbers never collide with the server's entities.
         # Sync cadence in frames (the reference syncs on wall-clock: 6 s
         # uplink Cache.cc:370, 2 s downlink poll; at the 10 fps replay rate
         # that is 60 / 20 frames).

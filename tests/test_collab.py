@@ -347,6 +347,77 @@ class TestTwoClientFusion:
         c1.downlink_step()
         assert int(c1.tracker.map.n_kf) == n1
 
+    def test_compaction_under_collaboration(self, rig):
+        """Map compaction with a live sync cache (r3 weak #10: compaction
+        used to be DISABLED under collab). After culling + repack +
+        remap_rows: pose deltas still address the right server entity,
+        and a new landmark allocated in a RECLAIMED row gets a fresh gid
+        (uid-based identity) instead of colliding with the server's
+        existing one."""
+        from corbslam_tpu.mapstate import mapstate as ms
+
+        transport, server, c1, c2 = rig
+        assert c1.uplink_step()
+        server.fuse_step()
+        m = c1.tracker.map
+        n_kf0 = int(m.n_kf)
+        gid_kf1 = c1.kf_ids.gid_of_row[1]
+        assert gid_kf1 >= 0
+        n_srv_mp0 = int(np.asarray(server.gmap.mp.valid).sum()) + sum(
+            int(np.asarray(s.map.mp.valid).sum()) for s in server.sub.values())
+
+        # Cull keyframe 0's... cull one synced landmark row + repack.
+        kill_rows = np.asarray(
+            np.nonzero(np.asarray(m.mp.valid))[0][:5], np.int64)
+        mp = m.mp._replace(
+            valid=m.mp.valid.at[jnp.asarray(kill_rows)].set(False))
+        c1.tracker.map = m._replace(mp=mp)
+        res = ms.compact(c1.tracker.map)
+        c1.tracker.map = res.m
+        c1.remap_rows(res)
+
+        # 1. A surviving synced keyframe's pose delta still reaches the
+        # right server entity.
+        kmap = np.asarray(res.kf_old2new)
+        new_row1 = int(kmap[1])
+        assert new_row1 >= 0
+        assert c1.kf_ids.gid_of_row[new_row1] == gid_kf1
+        m = c1.tracker.map
+        T_new = np.asarray(m.kf.Tcw[new_row1]).copy()
+        T_new[1, 3] += 0.25
+        c1.tracker.map = m._replace(kf=m.kf._replace(
+            Tcw=m.kf.Tcw.at[new_row1].set(jnp.asarray(T_new))))
+        upd0 = server.stats["kf_updates"]
+        assert c1.uplink_step()
+        assert server.stats["kf_updates"] > upd0
+        # Client 1 is fused, so its updates route to the GLOBAL map (its
+        # alignment is identity as the seeding client).
+        srv_row = int(server.g_kf_ids.rows_for(np.asarray([gid_kf1]))[0])
+        assert srv_row >= 0
+        got = np.asarray(server.gmap.kf.Tcw[srv_row])
+        assert abs(got[1, 3] - T_new[1, 3]) < 1e-4
+
+        # 2. A new landmark in a reclaimed row gets a FRESH gid; the
+        # server's totals grow by exactly the new entities (no overwrite
+        # of existing gids).
+        m = c1.tracker.map
+        free_row = int(m.n_mp)  # compaction reclaimed the culled rows
+        assert free_row < n_kf0 * 0 + m.mp.capacity
+        m2, rows = ms.add_map_points(
+            m, jnp.ones((8, 3)) * 3.0,
+            jnp.zeros((8, 32), jnp.uint8), jnp.ones((8, 3)),
+            jnp.ones(8), jnp.ones(8) * 9.0, ref_kf=0,
+            create=jnp.ones(8, bool), client=1,
+        )
+        c1.tracker.map = m2
+        assert c1.uplink_step()
+        new_gid = c1.mp_ids.gid_of_row[int(np.asarray(rows)[0])]
+        # Fresh uid -> gid never seen before; totals consistent.
+        assert new_gid >= 0
+        all_gids = c1.mp_ids.gid_of_row
+        vals = all_gids[all_gids >= 0]
+        assert len(np.unique(vals)) == len(vals)  # no collisions
+
     def test_failed_uplink_retries_without_loss(self, voc, shared_desc):
         transport = InProcTransport(serialize=True, drop_calls=1)
         server = MapFusionServer(CAM, CFG, voc, transport, run_gba=False)

@@ -118,3 +118,71 @@ class TestCompactionEndToEnd:
         bound = idx[idx >= 0]
         assert (bound < t.map.mp.capacity).all()
         assert valid_mp[bound].mean() > 0.95  # few stragglers at most
+
+
+class TestCollabCompactionE2E:
+    def test_tracker_compacts_with_live_sync_cache(self, rng):
+        """The full pipeline with a live ClientCache and a tiny keyframe
+        capacity: compaction must fire MID-RUN, remap the cache through
+        the on_compact hook, and the uplink must stay consistent (unique
+        gids, no dropped entities) — §5.7 eviction composed with the
+        collaboration layer, which round 3 explicitly disabled."""
+        from corbslam_tpu import system as system_mod
+        from corbslam_tpu.collab.server import MapFusionServer
+        from corbslam_tpu.collab.transport import InProcTransport
+        from corbslam_tpu.frontend import frame as frame_mod
+        from corbslam_tpu.geometry import camera, se3
+        from corbslam_tpu.io import synthetic
+        from corbslam_tpu.place import vocab as vocab_mod
+
+        cam = camera.Intrinsics.create(
+            fx=320.0, fy=320.0, cx=160.0, cy=120.0, bf=160.0,
+            width=320, height=240)
+        cfg = SlamConfig(
+            orb=OrbConfig(n_features=512, n_levels=4, cell_size=12),
+            tracking=TrackingConfig(th_depth=40.0, max_frames_between_kf=2),
+            mapping=MappingConfig(local_ba_window=4, local_ba_iters=4),
+            capacity=CapacityConfig(
+                max_keyframes=24, max_map_points=16384, max_features=512,
+                local_window_kfs=4, local_window_mps=1024),
+        )
+        world = synthetic.PlanarWorld(
+            cam, texture_size=2048, plane_dist=10.0, texture_scale=40.0)
+        tilt = se3.exp(jnp.asarray([0, 0, 0, 0.35, 0, 0], jnp.float32))
+        img0, _ = world.render_stereo(tilt)
+        f0 = frame_mod.build_frame_mono(img0, cam, cfg.orb)
+        voc = vocab_mod.train(f0.desc, n_words=256, n_iters=4)
+
+        transport = InProcTransport(serialize=True)
+        server = MapFusionServer(cam, cfg, voc, transport, run_gba=False)
+        c = system_mod.CorbslamClient(
+            cam, cfg, sensor="stereo", client_id=1, voc=None,
+            transport=transport, enable_loop_closing=False,
+        )
+        c.cache.stop_async_uplink()  # deterministic synchronous sync
+        c.uplink_every = 6
+        c.downlink_every = 1000
+        assert c.tracker.compaction_enabled  # no longer disabled by collab
+
+        for i in range(40):
+            xi = jnp.asarray(
+                [-(i * 0.1), 0.0, -(i * 0.02), 0.0, i * 0.003, 0.0],
+                jnp.float32)
+            l, r = world.render_stereo(se3.compose(tilt, se3.exp(xi)))
+            c.track_stereo(l, r, i * 0.1)
+            server.fuse_step()
+        c.shutdown()
+
+        t = c.tracker
+        assert t.stats.n_keyframes >= 18          # many created...
+        assert int(t.map.n_kf) <= 24              # ...cursor stayed bounded
+        # Sync stayed consistent: entities reached the server, gids unique.
+        assert c.cache.stats["kfs_pushed"] > 0
+        assert c.cache.stats["mps_pushed"] > 0
+        g = c.cache.kf_ids.gid_of_row
+        vals = g[g >= 0]
+        assert len(np.unique(vals)) == len(vals)
+        gm = c.cache.mp_ids.gid_of_row
+        vals = gm[gm >= 0]
+        assert len(np.unique(vals)) == len(vals)
+        assert server.stats["kfs_received"] > 0
