@@ -114,8 +114,8 @@ class FrameDrawer:
         return rgb
 
 
-def save_png(rgb: np.ndarray, path: str) -> str:
-    """Minimal PNG writer (no imaging dependency): zlib + struct."""
+def png_bytes(rgb: np.ndarray) -> bytes:
+    """Minimal PNG encoder (no imaging dependency): zlib + struct."""
     import struct
     import zlib
 
@@ -126,10 +126,13 @@ def save_png(rgb: np.ndarray, path: str) -> str:
         c = struct.pack(">I", len(data)) + tag + data
         return c + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
 
-    png = (b"\x89PNG\r\n\x1a\n"
-           + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
-           + chunk(b"IDAT", zlib.compress(raw, 6))
-           + chunk(b"IEND", b""))
+    return (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(raw, 6))
+            + chunk(b"IEND", b""))
+
+
+def save_png(rgb: np.ndarray, path: str) -> str:
     with open(path, "wb") as fp:
-        fp.write(png)
+        fp.write(png_bytes(rgb))
     return path

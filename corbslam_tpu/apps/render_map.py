@@ -106,7 +106,10 @@ def render_map(
     fig.suptitle(f"{title} — {len(kf_rows)} keyframes, {len(pts)} landmarks"
                  + (f", {n_cl} clients" if n_cl > 1 else ""))
     fig.tight_layout()
-    fig.savefig(out_path, dpi=130)
+    if hasattr(out_path, "write"):  # file-like (the live viewer's buffer)
+        fig.savefig(out_path, dpi=130, format="png")
+    else:
+        fig.savefig(out_path, dpi=130)
     plt.close(fig)
     return out_path
 

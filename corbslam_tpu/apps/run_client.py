@@ -40,6 +40,9 @@ def main(argv=None):
     ap.add_argument("--metrics", default=None, help="JSONL metrics path")
     ap.add_argument("--no-loop-closing", action="store_true")
     ap.add_argument("--save-map", default=None)
+    ap.add_argument("--viewer-port", type=int, default=None,
+                    help="serve a live frame+map viewer on this port "
+                         "(0 = ephemeral; the Pangolin Viewer equivalent)")
     args = ap.parse_args(argv)
 
     import jax.numpy as jnp
@@ -121,6 +124,13 @@ def main(argv=None):
         metrics_path=args.metrics,
     )
 
+    viewer = None
+    if args.viewer_port is not None:
+        from .live_viewer import LiveViewer
+
+        viewer = LiveViewer(port=args.viewer_port)
+        print(f"[run_client] live viewer at {viewer.url}")
+
     # ---- replay ------------------------------------------------------------
     times = []
     for i, fr in enumerate(frames):
@@ -133,11 +143,22 @@ def main(argv=None):
         else:
             client.track_monocular(jnp.asarray(a), ts)
         times.append(time.perf_counter() - t0)
+        if viewer is not None and i % 3 == 0:
+            viewer.publish_frame(np.asarray(a), client.tracker)
+            viewer.publish_stats({
+                "frame": i, "state": client.state.name,
+                "fps": round(1.0 / max(times[-1], 1e-9), 2),
+                "n_keyframes": int(client.tracker.stats.n_keyframes),
+            })
+            if i % 15 == 0:
+                viewer.publish_map(client.tracker.map)
         if i % 50 == 0:
             print(f"[run_client] frame {i} state={client.state.name} "
                   f"({1.0 / max(times[-1], 1e-9):.1f} fps)")
 
     client.shutdown()
+    if viewer is not None:
+        viewer.publish_map(client.tracker.map)
     t = np.asarray(times[5:]) if len(times) > 10 else np.asarray(times)
     print(f"[run_client] median track time {np.median(t)*1e3:.1f} ms "
           f"({1.0/np.median(t):.2f} fps), mean {t.mean()*1e3:.1f} ms")

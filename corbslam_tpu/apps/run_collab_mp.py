@@ -100,6 +100,15 @@ def run_server(args):
     server = MapFusionServer(
         cam, cfg, voc, transport, run_gba=args.gba, synchronous_gba=True
     )
+    viewer = None
+    if args.view_port is not None:
+        # Live ServerMapView equivalent (ref: corbslam_server/src/
+        # ServerMapView.cpp:34): the fused global map over HTTP.
+        from .live_viewer import LiveViewer
+
+        viewer = LiveViewer(port=args.view_port,
+                            title="server global map (live)")
+        print(f"[server] live map view at {viewer.url}", flush=True)
     t_last_fuse = 0.0
     deadline = time.time() + args.timeout
     while time.time() < deadline:
@@ -109,6 +118,8 @@ def run_server(args):
             server.fuse_step()
             server.broadcast_step()
             t_last_fuse = now
+            if viewer is not None:
+                viewer.publish_map(server.gmap, stats=dict(server.stats))
         if os.path.exists(args.stopfile):
             break
         if n == 0:
@@ -395,6 +406,8 @@ def main(argv=None):
     ap.add_argument("--stopfile", default="")
     ap.add_argument("--vocab", default="")
     ap.add_argument("--out", default="")
+    ap.add_argument("--view-port", type=int, default=None,
+                    help="server: live global-map viewer port (0=ephemeral)")
     ap.add_argument("--view-out", default="",
                     help="server: render the fused global map PNG on exit")
     ap.add_argument("--timeout", type=float, default=900.0)
