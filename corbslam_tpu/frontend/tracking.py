@@ -91,6 +91,13 @@ class StereoTracker:
         # remapped atomically with the repack.
         self.compaction_enabled = True
         self.on_compact: list = []
+        # Bumped whenever keyframe poses move OUTSIDE the local-BA stages
+        # (loop correction, GBA merge, compaction): a split local BA whose
+        # window was built before the bump aborts its writeback — the
+        # reference's mbAbortBA on loop events (LocalMapping.cc:79,
+        # LoopClosing.cc:420). Writing back a pre-loop linearization would
+        # silently UNDO the loop correction for the window keyframes.
+        self.map_epoch = 0
         self._kf_cursor_est = 0  # host estimate of the device cursor
         self._compact_cooldown = 0  # frame id gate after a fruitless repack
         self.sensor = "stereo"
@@ -169,7 +176,10 @@ class StereoTracker:
             self.flush()
             self._compact_map()
         if self.loop_closer is not None:
-            self.map = self.loop_closer.try_merge_gba(self.map)
+            m2 = self.loop_closer.try_merge_gba(self.map)
+            if m2 is not self.map:
+                self.map_epoch += 1  # GBA merge moved poses
+                self.map = m2
 
         # Amortized local mapping: run one deferred stage per frame (two
         # when a fresh keyframe left a backlog) so mapping compute spreads
@@ -276,7 +286,10 @@ class StereoTracker:
         # Tracking waits on mMutexMapUpdate while LoopClosing writes;
         # here the merge is one explicit program between frames).
         if self.loop_closer is not None:
-            self.map = self.loop_closer.try_merge_gba(self.map)
+            m2 = self.loop_closer.try_merge_gba(self.map)
+            if m2 is not self.map:
+                self.map_epoch += 1
+                self.map = m2
 
         # 1. Motion-model tracking (fallback: reference keyframe).
         T_pred = se3.compose(self.velocity, self.last_frame.Tcw)
@@ -584,16 +597,28 @@ class StereoTracker:
             q.append(lambda: setattr(
                 self, "map", local_mapping.sweep_detached(self.map)))
         if self.loop_closer is not None:
-            q.append(lambda: setattr(
-                self, "map",
-                self.loop_closer.process_keyframe(self.map, kf_row)))
+            q.append(lambda: self._stage_loop_closing(kf_row))
 
     def _run_stage(self):
         self._stage_q.popleft()()
 
+    def _stage_loop_closing(self, kf_row: int):
+        """Loop-closing stage; bumps the map epoch when a correction or a
+        GBA merge moved keyframe poses (aborts in-flight split local BAs)."""
+        lc = self.loop_closer
+        loops0 = lc.stats.n_loops_closed
+        merges0 = getattr(lc.gba_runner, "runs_finished", 0) \
+            if lc.gba_runner is not None else 0
+        self.map = lc.process_keyframe(self.map, kf_row)
+        merges1 = getattr(lc.gba_runner, "runs_finished", 0) \
+            if lc.gba_runner is not None else 0
+        if lc.stats.n_loops_closed != loops0 or merges1 != merges0:
+            self.map_epoch += 1
+
     def _stage_local_ba_build(self, kf_row: int, st: dict):
         """Local BA stage 0: window selection + problem build (a full
         observation-table scan — its own frame)."""
+        st["epoch"] = self.map_epoch
         st["sel"], st["prob"] = local_mapping.local_ba_build(
             self.map, kf_row, self.cfg)
 
@@ -601,6 +626,9 @@ class StereoTracker:
         """Local BA stage 1: robust LM phase."""
         from ..optim import ba_dense
 
+        if st["epoch"] != self.map_epoch:
+            st["res"] = None  # aborted: poses moved under the window
+            return
         n1 = max(self.cfg.mapping.local_ba_iters - 2, 1)
         st["res"] = ba_dense.optimize(
             self.cam, st["prob"], n_iters=n1,
@@ -608,9 +636,14 @@ class StereoTracker:
 
     def _stage_local_ba_b(self, st: dict):
         """Local BA stage 2: plain polish on the reclassified inliers +
-        writeback into the (one-frame-newer) map."""
+        writeback into the (one-frame-newer) map. Aborts (mbAbortBA) if a
+        loop correction / GBA merge / compaction moved poses since the
+        window was built — writing the stale linearization back would
+        undo that correction for the window keyframes."""
         from ..optim import ba_dense
 
+        if st.get("res") is None or st["epoch"] != self.map_epoch:
+            return
         sel, prob, res = st["sel"], st["prob"], st["res"]
         prob2 = prob._replace(
             Tcw=res.Tcw, X=res.X, obs_active=prob.obs_active & res.inlier)
@@ -663,6 +696,7 @@ class StereoTracker:
             self.loop_closer.remap_rows(res)
         for cb in self.on_compact:
             cb(res)
+        self.map_epoch += 1  # rows renumbered
         self._kf_cursor_est = int(self.map.n_kf)
         if self._kf_cursor_est >= int(0.85 * self.cfg.capacity.max_keyframes):
             # Map genuinely full (culling freed nothing): back off so a
