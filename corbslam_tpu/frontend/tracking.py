@@ -41,6 +41,8 @@ class TrackerStats:
     n_frames: int = 0
     n_keyframes: int = 0
     n_relocalizations: int = 0
+    n_resets: int = 0
+    n_compactions: int = 0
     inliers_history: list = field(default_factory=list)
 
 
@@ -91,6 +93,7 @@ class StereoTracker:
         # remapped atomically with the repack.
         self.compaction_enabled = True
         self.on_compact: list = []
+        self.on_reset: list = []
         # Bumped whenever keyframe poses move OUTSIDE the local-BA stages
         # (loop correction, GBA merge, compaction): a split local BA whose
         # window was built before the bump aborts its writeback — the
@@ -181,12 +184,17 @@ class StereoTracker:
                 self.map_epoch += 1  # GBA merge moved poses
                 self.map = m2
 
-        # Amortized local mapping: run one deferred stage per frame (two
-        # when a fresh keyframe left a backlog) so mapping compute spreads
-        # across the frames between keyframes instead of spiking one frame.
+        # Amortized local mapping: run one deferred stage per frame, then
+        # keep draining while the backlog exceeds a small bound, so mapping
+        # compute spreads across the frames between keyframes WITHOUT the
+        # queue ever growing unboundedly. (r4 regression: the 3-stage local
+        # BA raised production to ~6.5 stages/KF while consumption stayed
+        # at <=2/frame; on keyframe-dense runs the whole mapping+loop
+        # pipeline then deferred to shutdown flush, where loop closure
+        # fired on a map state far from the one it was detected in.)
         if self._stage_q:
             self._run_stage()
-            if len(self._stage_q) > 4:
+            while len(self._stage_q) > 4:
                 self._run_stage()
 
         kwargs = dict(
@@ -250,6 +258,13 @@ class StereoTracker:
         if lost:
             self._state = TrackState.LOST
             self._frame_states.append(self._state)
+            # Lost before the map is established -> hard reset (ref:
+            # Tracking.cc:470-478 "Track lost soon after initialisation,
+            # reseting..." -> Reset :1533): with <=5 keyframes there is
+            # nothing worth relocalizing against, and a mono map this
+            # young is usually a bad bootstrap.
+            if self._kf_cursor_est <= 5:
+                self.reset()
             return
         self._state = TrackState.OK
         # Host bookkeeping only: _ref_kf_dev stays the device-threaded value
@@ -273,6 +288,11 @@ class StereoTracker:
             return self.current_pose()
 
         if self.state == TrackState.LOST:
+            if self._kf_cursor_est <= 5:
+                # Hard reset instead of hopeless relocalization against a
+                # map that never got established (Tracking.cc:470-478).
+                self.reset()
+                return self._track(cur, timestamp)
             if self._try_relocalize(cur, timestamp):
                 return self.current_pose()
             if self.loop_closer is not None:
@@ -697,11 +717,40 @@ class StereoTracker:
         for cb in self.on_compact:
             cb(res)
         self.map_epoch += 1  # rows renumbered
+        self.stats.n_compactions += 1
         self._kf_cursor_est = int(self.map.n_kf)
         if self._kf_cursor_est >= int(0.85 * self.cfg.capacity.max_keyframes):
             # Map genuinely full (culling freed nothing): back off so a
             # full map costs one repack per cooldown, not one per frame.
             self._compact_cooldown = self.frame_id + 60
+
+    def reset(self):
+        """Hard system reset — `Tracking::Reset` (ref: Tracking.cc:1533):
+        clear the map, the keyframe database / loop-closer state and the id
+        counters, drop in-flight work, and return to NOT_INITIALIZED so the
+        next frame re-bootstraps. Subscribers with map-addressed state (the
+        collab ClientCache) register on_reset callbacks; entities already
+        pushed to a server stay there as a dead sub-map — the reference
+        behaves the same (its Reset does not retract served keyframes)."""
+        self._pending.clear()
+        self._stage_q.clear()
+        self.map = ms.empty(self.cfg.capacity)
+        self._state = TrackState.NOT_INITIALIZED
+        self.last_frame = None
+        self.velocity = jnp.eye(4)
+        self.last_kf_frame_id = 0
+        self.ref_kf = 0
+        self._ref_kf_dev = jnp.int32(0)
+        self.ref_obs = 0
+        self._init_ref = None
+        self._kf_cursor_est = 0
+        self._compact_cooldown = 0
+        self.map_epoch += 1
+        self.stats.n_resets = getattr(self.stats, "n_resets", 0) + 1
+        if self.loop_closer is not None:
+            self.loop_closer.reset()
+        for cb in getattr(self, "on_reset", []):
+            cb()
 
     def _finish_frame(self, cur, timestamp: float, lost: bool = False,
                       Tcw_np: Optional[np.ndarray] = None):

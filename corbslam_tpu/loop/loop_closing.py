@@ -154,8 +154,78 @@ def compute_sim3(
         view_cos_limit=-1.0,
     )
     n_total = jnp.sum(res2.idx >= 0)
+
+    # 2D-3D pose refinement of the correction over the WIDENED matches —
+    # the decisive robustness stage (r5). The 3D-3D Sim3 above aligns
+    # duplicate landmark clouds whose positions carry stereo depth noise
+    # (sigma_z ~ z^2/bf) and which often span a NARROW far patch of the
+    # scene: the alignment is then near-degenerate — an 11-degree rotation
+    # about a 15 m lever arm traded against 4+ m of translation fit the r4
+    # room-world pairs exactly as well as the truth, passed every
+    # reprojection gate, and bent the corrected map 10x (post-loop ate_kf
+    # 0.70 vs 0.07). Optimizing the QUERY POSE against the candidate
+    # side's 3D points through the query's own 2D observations (spread
+    # across the image, depth-weighted) pins the correction the way
+    # relocalization pins a lost frame — the reference gets the same
+    # effect from OptimizeSim3's bidirectional image-space edges on the
+    # widened match set (Optimizer.cc:1120; GlobalOptimize.cpp:199-211).
+    from ..optim import pose_opt as pose_opt_mod
+
+    obs_q = jnp.concatenate(
+        [m.kf.xy[kf_q], m.kf.uright[kf_q][:, None]], axis=-1)
+    octv = m.kf.octave[kf_q].astype(jnp.float32)
+    inv_s2 = 1.0 / (cfg.orb.scale_factor ** (2.0 * octv))
+
+    def widen_and_opt(T0, radius):
+        r, _ = matcher.search_by_projection_points(
+            cam, T0,
+            m.mp.pos[rows], m.mp.desc[rows], rows_ok,
+            m.mp.min_dist[rows], m.mp.max_dist[rows], m.mp.normal[rows],
+            m.kf.xy[kf_q], m.kf.octave[kf_q], m.kf.desc[kf_q],
+            m.kf.fvalid[kf_q],
+            scales, cfg.orb.scale_factor,
+            radius=radius, max_dist=cfg.matcher.th_low, ratio=1.0,
+            view_cos_limit=-1.0,
+        )
+        X_m = m.mp.pos[rows][jnp.clip(r.idx, 0)]
+        p = pose_opt_mod.optimize_pose(
+            cam, T0, X_m, obs_q, inv_s2,
+            is_stereo=m.kf.uright[kf_q] > 0, valid=r.idx >= 0,
+        )
+        pok = jnp.isfinite(p.Tcw).all()
+        return jnp.where(pok, p.Tcw, T0), p.n_inliers, pok
+
+    # Round 1 reuses the first widen's matches; rounds 2-3 RE-GATHER the
+    # matches around the improving pose — the first widen only sees points
+    # consistent with the (possibly several-meters-off) 3D-3D prediction,
+    # so a single optimization inherits that selection bias (measured r5:
+    # one round left the correction 1.4 m off; re-widening converges).
+    X_m = m.mp.pos[rows][jnp.clip(res2.idx, 0)]
+    po = pose_opt_mod.optimize_pose(
+        cam, T_pred, X_m, obs_q, inv_s2,
+        is_stereo=m.kf.uright[kf_q] > 0, valid=res2.idx >= 0,
+    )
+    T_ref = jnp.where(jnp.isfinite(po.Tcw).all(), po.Tcw, T_pred)
+    T_ref, n_po, ok2 = widen_and_opt(T_ref, 7.5)
+    T_ref, n_po2, ok3 = widen_and_opt(T_ref, 4.0)
+    po_n = jnp.where(ok3, n_po2, jnp.where(ok2, n_po, po.n_inliers))
+    po_ok = (
+        jnp.isfinite(T_ref).all()
+        & (po_n >= cfg.loop.min_total_matches)
+    )
+    # Fold the refined query pose back into the candidate->query Sim3:
+    # p_q = s' R' p_c + t' with R' = R_po Rc^T, t' = s (t_po - R' tc)
+    # (projection is invariant to the structure scale, so the pose-opt SE3
+    # lives in candidate units and the 3D-3D scale estimate is kept).
+    R_rel = T_ref[:3, :3] @ Tc[:3, :3].T
+    t_rel = s * (T_ref[:3, 3] - R_rel @ Tc[:3, 3])
+    R = jnp.where(po_ok, R_rel, R)
+    t = jnp.where(po_ok, t_rel, t)
+    n_total = jnp.where(po_ok, po_n, n_total)
+
     ok = (
         ransac.ok
+        & po_ok
         & (n_inliers >= cfg.loop.min_sim3_inliers)
         & (n_bow >= cfg.loop.min_bow_matches)
         & (n_total >= cfg.loop.min_total_matches)
@@ -603,6 +673,20 @@ class LoopCloser:
         if self.gba_runner is not None:
             self.gba_runner.launch(m)
         return m
+
+    def reset(self):
+        """System hard reset (Tracking::Reset clears the KeyFrameDatabase
+        and loop state, Tracking.cc:1533): empty the BoW database, the
+        accumulated loop edges and consistency groups, abort any running
+        GBA."""
+        self.db = db_mod.BowDatabase.empty(
+            self.cfg.capacity.max_keyframes, self.voc.n_words)
+        self.loops = LoopEdges.empty()
+        self.n_loops = 0
+        self.consistent_groups = []
+        self.last_loop_kf = -(10 ** 9)
+        if self.gba_runner is not None:
+            self.gba_runner.abort()
 
     def remap_rows(self, res):
         """Apply a map compaction (mapstate.compact result): the BoW

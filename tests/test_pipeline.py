@@ -202,3 +202,105 @@ class TestMonocularE2E:
             np.asarray(est), np.asarray(gtw), align=True, with_scale=True
         )
         assert rmse < 0.15, rmse
+
+
+class TestStageQueueDiscipline:
+    """Regression tests for the r4 deferred-stage backlog (VERDICT r4 #1):
+    the 3-stage local BA raised stage production per keyframe above the
+    per-frame consumption, the queue grew unboundedly, and the WHOLE
+    mapping+loop pipeline deferred to shutdown flush — where loop closure
+    then fired on a map state far from the one it was detected in."""
+
+    def test_stage_queue_stays_bounded_under_kf_pressure(self, world):
+        cfg = SlamConfig(
+            orb=OrbConfig(n_features=512, n_levels=4, cell_size=12),
+            tracking=TrackingConfig(
+                th_depth=40.0, min_frames_between_kf=0,
+                max_frames_between_kf=1,  # force a keyframe every frame
+            ),
+            mapping=MappingConfig(local_ba_window=8, local_ba_iters=6),
+            capacity=CapacityConfig(
+                max_keyframes=64, max_map_points=8192, max_features=512,
+                local_window_kfs=8, local_window_mps=2048,
+            ),
+        )
+        tracker = StereoTracker(CAM, cfg)
+        gt = gt_trajectory(14)
+        for i, Tcw in enumerate(gt):
+            img_l, img_r = world.render_stereo(Tcw)
+            tracker.process_stereo(img_l, img_r, timestamp=i * 0.1)
+            # Bound: the post-frame drain target (4) plus at most one
+            # keyframe's worth of stages enqueued by the in-frame retire.
+            assert len(tracker._stage_q) <= 12, (i, len(tracker._stage_q))
+        assert tracker.stats.n_keyframes >= 10
+
+    def test_stale_local_ba_writeback_aborts_on_epoch_bump(self, world):
+        """A split local BA whose window was built before a loop
+        correction / GBA merge / compaction must NOT write back (the
+        reference's mbAbortBA, LocalMapping.cc:79)."""
+        tracker = StereoTracker(CAM, CFG)
+        gt = gt_trajectory(14)
+        for i, Tcw in enumerate(gt):
+            img_l, img_r = world.render_stereo(Tcw)
+            tracker.process_stereo(img_l, img_r, timestamp=i * 0.1)
+        tracker.flush()
+        kf_row = tracker.ref_kf
+        st = {}
+        tracker._stage_local_ba_build(kf_row, st)
+        tracker.map_epoch += 1  # poses moved under the window
+        before = tracker.map
+        tracker._stage_local_ba_a(st)
+        assert st["res"] is None
+        tracker._stage_local_ba_b(st)
+        assert tracker.map is before  # no writeback happened
+
+    def test_fresh_local_ba_writeback_commits(self, world):
+        tracker = StereoTracker(CAM, CFG)
+        gt = gt_trajectory(14)
+        for i, Tcw in enumerate(gt):
+            img_l, img_r = world.render_stereo(Tcw)
+            tracker.process_stereo(img_l, img_r, timestamp=i * 0.1)
+        tracker.flush()
+        kf_row = tracker.ref_kf
+        st = {}
+        tracker._stage_local_ba_build(kf_row, st)
+        before = tracker.map
+        tracker._stage_local_ba_a(st)
+        assert st["res"] is not None
+        tracker._stage_local_ba_b(st)
+        assert tracker.map is not before
+        assert bool(jnp.isfinite(tracker.map.kf.Tcw).all())
+
+
+class TestLostEarlyHardReset:
+    """Lost-early hard reset (ref: Tracking.cc:470-478 -> Reset :1533):
+    tracking lost while the map holds <=5 keyframes clears everything and
+    re-bootstraps from the next good frame instead of relocalizing against
+    a map that never got established."""
+
+    def test_reset_and_recover(self, world):
+        tracker = StereoTracker(CAM, CFG)
+        gt = gt_trajectory(24)
+        # 4 good frames -> initialized, a couple of keyframes.
+        for i in range(4):
+            img_l, img_r = world.render_stereo(gt[i])
+            tracker.process_stereo(img_l, img_r, timestamp=i * 0.1)
+        tracker.flush()
+        assert tracker.state == TrackState.OK
+        assert 1 <= tracker.stats.n_keyframes <= 5
+        # Featureless frames kill tracking while the map is still tiny.
+        blank = jnp.zeros((CAM.height, CAM.width), jnp.float32)
+        for i in range(4, 8):
+            tracker.process_stereo(blank, blank, timestamp=i * 0.1)
+        tracker.flush()
+        assert tracker.stats.n_resets >= 1
+        assert int(tracker.map.n_kf) == 0 or tracker.state in (
+            TrackState.NOT_INITIALIZED, TrackState.LOST)
+        # Good frames again -> fresh bootstrap, tracking OK.
+        for i in range(8, 16):
+            img_l, img_r = world.render_stereo(gt[i])
+            tracker.process_stereo(img_l, img_r, timestamp=i * 0.1)
+        tracker.flush()
+        assert tracker.state == TrackState.OK
+        assert tracker.stats.n_keyframes >= 1
+        assert bool(jnp.isfinite(tracker.map.kf.Tcw).all())
