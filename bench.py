@@ -38,12 +38,19 @@ def bench_gba(cam, cfg):
     from corbslam_tpu.mapstate import mapstate as ms
     from corbslam_tpu.optim import ba_dense
 
-    cap = cfg.capacity
+    from corbslam_tpu.config import CapacityConfig
+
+    # r5 capacity: KITTI-00 scale (VERDICT r4 #3 asks >=1536 KF / 200k pts
+    # at >=5 LM iters/s) — KITTI-00 is ~4500 frames / ~1300 keyframes, so
+    # this problem is strictly larger than the yardstick sequence.
+    cap = CapacityConfig(
+        max_keyframes=2048, max_map_points=262144,
+        max_features=cfg.capacity.max_features,
+        local_window_kfs=cfg.capacity.local_window_kfs,
+        local_window_mps=cfg.capacity.local_window_mps,
+    )
     rng = np.random.default_rng(0)
-    # r4 capacity: 2x the r3 problem (VERDICT #4 asks >=768 KF / ~100k pts
-    # at >=5 LM iters/s) — KITTI-00 is ~1300 KFs, so this is a realistic
-    # loop-event problem size.
-    N_used, P_used, obs_per_kf = 768, 98304, 512
+    N_used, P_used, obs_per_kf = 1536, 196608, 512
     m = ms.empty(cap)
 
     # Poses along a gentle arc; landmarks in a band in front of them.
@@ -105,6 +112,97 @@ def bench_gba(cam, cfg):
         "gba_n_keyframes": N_used,
         "gba_n_points": P_used,
         "gba_n_observations": n_obs,
+    }
+
+
+def bench_endurance():
+    """KITTI-00-scale ENDURANCE on the chip (VERDICT r4 #2/#3): a >=1000
+    frame multi-lap run through the occluded, shaded SceneWorld with loop
+    closing + async GBA + compaction, at a keyframe capacity the run must
+    EXCEED (so eviction/compaction is demonstrated, SURVEY.md §5.7).
+    Reports frames, fps, loops closed, compactions and final keyframe ATE.
+    Runs AFTER the flagship window in the same process."""
+    from corbslam_tpu import system as system_mod
+    from corbslam_tpu.config import (
+        CapacityConfig, MappingConfig, OrbConfig, SlamConfig, TrackingConfig,
+    )
+    from corbslam_tpu.frontend import frame as frame_mod
+    from corbslam_tpu.geometry import camera, se3
+    from corbslam_tpu.io import synthetic
+    from corbslam_tpu.io import trajectory as traj_mod
+    from corbslam_tpu.place import vocab as vocab_mod
+
+    cam = camera.Intrinsics.create(
+        fx=320.0, fy=320.0, cx=160.0, cy=120.0, bf=320.0 * 0.5,
+        width=320, height=240,
+    )
+    cfg = SlamConfig(
+        orb=OrbConfig(n_features=512, n_levels=4, cell_size=12),
+        tracking=TrackingConfig(th_depth=40.0, max_frames_between_kf=10),
+        mapping=MappingConfig(local_ba_window=8, local_ba_iters=6),
+        capacity=CapacityConfig(
+            max_keyframes=256, max_map_points=32768, max_features=512,
+            local_window_kfs=8, local_window_mps=2048,
+        ),
+    )
+    world = synthetic.SceneWorld.room_with_boxes(
+        cam, half=14.0, height=3.0, n_boxes=5, box_ring=8.0, seed=3)
+    step, radius, n_frames = 0.05, 6.0, 1050  # ~8.3 laps
+
+    def gt_pose(i):
+        th = step * i
+        Twc = se3.compose(
+            se3.exp(jnp.asarray([0, 0, 0, 0.0, th, 0.0], jnp.float32)),
+            se3.from_Rt(jnp.eye(3), jnp.asarray([0.0, 0.0, -radius])),
+        )
+        return se3.inverse(Twc)
+
+    # jitted renderer (the eager per-op path would pay the relay per op);
+    # frame id is a traced arg so exposure drift + per-frame noise survive
+    render = jax.jit(lambda T, i: world.render_stereo(T, i))
+    gt = [gt_pose(i) for i in range(n_frames)]
+    descs = []
+    for i in (0, n_frames // 7, 2 * n_frames // 7):
+        l, _ = world.render_stereo(gt[i], frame=i)
+        f = frame_mod.build_frame_mono(l, cam, cfg.orb)
+        descs.append(np.asarray(f.desc)[np.asarray(f.fvalid)])
+    voc = vocab_mod.train(jnp.asarray(np.concatenate(descs)),
+                          n_words=1024, n_iters=6)
+    c = system_mod.CorbslamClient(
+        cam, cfg, sensor="stereo", client_id=1, voc=voc,
+        enable_loop_closing=True, run_gba=True,
+    )
+    t_mark = None
+    for i in range(n_frames):
+        if i == 100:  # timed region starts after programs are warm
+            c.tracker.flush()
+            t_mark = time.time()
+        l, r = render(gt[i], i)
+        c.track_stereo(l, r, timestamp=i * 0.1)
+    c.shutdown()
+    dt = time.time() - t_mark
+    gtw = np.asarray([np.asarray(se3.inverse(T)) for T in gt])
+    m = c.tracker.map
+    valid = np.asarray(m.kf.valid)
+    fid = np.asarray(m.kf.frame_id)[valid]
+    kf_Tcw = np.asarray(m.kf.Tcw)[valid]
+    sel = fid < len(gtw)
+    est_kf = np.asarray([np.asarray(se3.inverse(jnp.asarray(T)))
+                         for T in kf_Tcw[sel]])
+    ate_kf = traj_mod.ate_rmse(est_kf, gtw[fid[sel]], align=True)
+    st = c.tracker.stats
+    return {
+        "endurance_frames": n_frames,
+        "endurance_fps": round((n_frames - 100) / dt, 2),
+        "endurance_keyframes_live": int(valid.sum()),
+        "endurance_keyframes_created": st.n_keyframes,
+        "endurance_loops_closed": c.loop_closer.stats.n_loops_closed,
+        "endurance_gba_runs": c.loop_closer.gba_runner.runs_finished,
+        "endurance_gba_aborts": c.loop_closer.gba_runner.runs_aborted,
+        "endurance_compactions": st.n_compactions,
+        "endurance_resets": st.n_resets,
+        "endurance_ate_kf": round(float(ate_kf), 4),
+        "endurance_world": "SceneWorld(room+5 boxes, shading, exposure)",
     }
 
 
@@ -299,6 +397,11 @@ def main():
             extra.update(bench_gba(cam, cfg))
         except Exception as e:  # pragma: no cover - bench resilience
             extra["gba_error"] = repr(e)
+    if not os.environ.get("BENCH_SKIP_ENDURANCE"):
+        try:
+            extra.update(bench_endurance())
+        except Exception as e:  # pragma: no cover - bench resilience
+            extra["endurance_error"] = repr(e)[:300]
     if not os.environ.get("BENCH_SKIP_ATE"):
         extra.update(bench_ate_closed_loop())
         extra.update(bench_ate_kitti())

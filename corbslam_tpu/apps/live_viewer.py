@@ -72,7 +72,7 @@ def _empty_png() -> bytes:
 
 class LiveViewer:
     def __init__(self, port: int = 0, map_render_hz: float = 1.0,
-                 title: str = "corbslam_tpu map"):
+                 title: str = "corbslam_tpu map", host: str = "127.0.0.1"):
         self._lock = threading.Lock()
         self._frame_png: bytes = _empty_png()
         self._map_png: bytes = _empty_png()
@@ -112,7 +112,10 @@ class LiveViewer:
                 self.end_headers()
                 self.wfile.write(body)
 
-        self._httpd = ThreadingHTTPServer(("0.0.0.0", port), Handler)
+        # Loopback by default: the viewer serves live camera frames and the
+        # map with no authentication, so network-wide exposure must be an
+        # explicit opt-in (pass host="0.0.0.0"; advisor r4).
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
         self.port = self._httpd.server_address[1]
         self._http_thread = threading.Thread(
             target=self._httpd.serve_forever, daemon=True)

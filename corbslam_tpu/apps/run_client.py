@@ -43,6 +43,9 @@ def main(argv=None):
     ap.add_argument("--viewer-port", type=int, default=None,
                     help="serve a live frame+map viewer on this port "
                          "(0 = ephemeral; the Pangolin Viewer equivalent)")
+    ap.add_argument("--viewer-host", default="127.0.0.1",
+                    help="viewer bind address (loopback by default; pass "
+                         "0.0.0.0 to expose on the network)")
     args = ap.parse_args(argv)
 
     import jax.numpy as jnp
@@ -128,7 +131,7 @@ def main(argv=None):
     if args.viewer_port is not None:
         from .live_viewer import LiveViewer
 
-        viewer = LiveViewer(port=args.viewer_port)
+        viewer = LiveViewer(port=args.viewer_port, host=args.viewer_host)
         print(f"[run_client] live viewer at {viewer.url}")
 
     # ---- replay ------------------------------------------------------------

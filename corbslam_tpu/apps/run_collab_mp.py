@@ -107,7 +107,8 @@ def run_server(args):
         from .live_viewer import LiveViewer
 
         viewer = LiveViewer(port=args.view_port,
-                            title="server global map (live)")
+                            title="server global map (live)",
+                            host=getattr(args, "view_host", "127.0.0.1"))
         print(f"[server] live map view at {viewer.url}", flush=True)
     t_last_fuse = 0.0
     deadline = time.time() + args.timeout
@@ -408,6 +409,8 @@ def main(argv=None):
     ap.add_argument("--out", default="")
     ap.add_argument("--view-port", type=int, default=None,
                     help="server: live global-map viewer port (0=ephemeral)")
+    ap.add_argument("--view-host", default="127.0.0.1",
+                    help="viewer bind address (loopback by default)")
     ap.add_argument("--view-out", default="",
                     help="server: render the fused global map PNG on exit")
     ap.add_argument("--timeout", type=float, default=900.0)

@@ -174,6 +174,8 @@ class ClientCache:
         # the CompactResult after repacking.
         if hasattr(tracker, "on_compact"):
             tracker.on_compact.append(self.remap_rows)
+        if hasattr(tracker, "on_reset"):
+            tracker.on_reset.append(self.handle_reset)
         transport.register_client(cid)
 
     # ------------------------------------------------------------------
@@ -451,6 +453,31 @@ class ClientCache:
             self.synced_kf = int((kmap[: self.synced_kf] >= 0).sum())
             self.synced_mp = int((pmap[: self.synced_mp] >= 0).sum())
 
+    def handle_reset(self) -> None:
+        """Apply a tracker hard reset (Tracking::Reset, Tracking.cc:1533):
+        every row-addressed structure starts over with the empty map. The
+        uid counters stay MONOTONE — entities already pushed live on at the
+        server as a dead sub-map (the reference's Reset does not retract
+        served keyframes either) and re-used uids would collide with them.
+        A resync request repopulates the foreign (global-map) entities the
+        reset threw away."""
+        cap = self.cfg.capacity
+        stride = self.cfg.collab.client_id_stride
+        with self._lock:
+            self._gen += 1
+            self.kf_ids = IdMap(cap.max_keyframes, self.cid, stride)
+            self.mp_ids = IdMap(cap.max_map_points, self.cid, stride)
+            self.synced_kf = 0
+            self.synced_mp = 0
+            self._kf_pose_snap[:] = 0.0
+            self._mp_pos_snap[:] = 0.0
+            self._kf_uid[:] = -1
+            self._mp_uid[:] = -1
+        try:
+            self.request_resync()
+        except Exception:  # transport may be gone at shutdown
+            pass
+
     def request_resync(self) -> bool:
         """Ask the server to replay the full global map in chunks — the
         late-join / lost-message recovery path (the reference re-sends the
@@ -468,13 +495,29 @@ class ClientCache:
         """Drain all four topics and apply them to the local map."""
         with self._lock:
             for msg in self.transport.poll(wire.TOPIC_NEW_MPS, self.cid):
+                self._note_transm(msg)
                 self._apply_new_mps(msg)
             for msg in self.transport.poll(wire.TOPIC_NEW_KFS, self.cid):
+                self._note_transm(msg)
                 self._apply_new_kfs(msg)
             for msg in self.transport.poll(wire.TOPIC_UPD_KFS, self.cid):
+                self._note_transm(msg)
                 self._apply_kf_poses(msg)
             for msg in self.transport.poll(wire.TOPIC_UPD_MPS, self.cid):
+                self._note_transm(msg)
                 self._apply_mp_pos(msg)
+
+    def _note_transm(self, msg):
+        """Record this client's alignment transform from the message's
+        TRANSM map REGARDLESS of whether any entity in the message is
+        applied. The reference attaches TRANSM to every downlink message
+        (PubToClient.cpp:48-52) precisely so clients learn their alignment
+        as a side channel; the r4 scaling artifacts showed has_transm=false
+        on every fused client because the handlers' early returns (already-
+        known gids) skipped the lookup."""
+        tr = wire.transm_lookup(msg, self.cid)
+        if tr is not None:
+            self.Ttrans = tr
 
     def _own_transform_inv(self, msg):
         tr = wire.transm_lookup(msg, self.cid)

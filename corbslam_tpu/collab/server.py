@@ -562,7 +562,15 @@ class MapFusionServer:
         return True
 
     def _resync_chunk(self, trans):
-        """Emit one chunk of the in-progress full-map replay."""
+        """Emit one chunk of the in-progress full-map replay.
+
+        ALL map-point chunks go out before the first keyframe chunk: a
+        replayed KF references MP gids by observation binding, and a dense
+        map has >40 obs/KF while the chunk ratio is only 2000 MP : 50 KF —
+        replaying them in parallel would hand a KF gids not yet known to
+        the receiver, whose _apply_new_kfs maps them to -1 and then skips
+        the (now known) KF gid on every later replay, permanently losing
+        the bindings (advisor r4, collab/server.py:564)."""
         if self._resync_mp is not None:
             hi = min(self._resync_mp + self.cfg.collab.resend_chunk_mps,
                      self._bcast_mp)
@@ -572,6 +580,7 @@ class MapFusionServer:
             if len(rows):
                 self._publish_mp_rows(rows, trans)
             self._resync_mp = hi if hi < self._bcast_mp else None
+            return
         if self._resync_kf is not None:
             hi = min(self._resync_kf + self.cfg.collab.resend_chunk_kfs,
                      self._bcast_kf)

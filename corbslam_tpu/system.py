@@ -138,7 +138,16 @@ class CorbslamClient:
         self.tracker.flush()  # retire the in-flight pipelined frame
         if self.cache is not None:
             self.cache.stop_async_uplink()  # drain worker, then final push
-            self.cache.uplink_step()
+            # The final push must actually land: a single failed call here
+            # (server busy in fusion/GBA for seconds) left clients with
+            # kfs_pushed=0 while the server had already deduplicated their
+            # retried entities (r4 SCALING artifacts' counter mismatch).
+            # Retry with backoff until acked or the budget runs out.
+            import time as _time
+            for attempt in range(5):
+                if self.cache.uplink_step():
+                    break
+                _time.sleep(0.5 * (attempt + 1))
             self.cache.downlink_step()
         if self.loop_closer is not None and self.loop_closer.gba_runner:
             self.loop_closer.gba_runner.wait()

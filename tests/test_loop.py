@@ -31,12 +31,19 @@ def random_descs(rng, n):
     return jnp.asarray(rng.integers(0, 256, (n, 32), dtype=np.uint8))
 
 
-def build_loop_map(rng, n_kf=12, n_pts_per=60, drift_per_kf=0.02):
+def build_loop_map(rng, n_kf=12, n_pts_per=60, drift_per_kf=0.02,
+                   mono=False, scale_drift=1.0):
     """A straight out-and-back trajectory whose estimated poses accumulate
     drift; the first and last keyframes revisit the same scene points (the
     last KF observes DUPLICATE copies of KF0's landmarks, positioned
     consistently with its drifted pose — exactly the state the reference's
-    loop closer faces)."""
+    loop closer faces).
+
+    `mono=True` strips stereo depth (uright=-1, depth=0) from every
+    keyframe. `scale_drift=k` additionally scales the QUERY side's local
+    structure by k about its camera (duplicate landmark camera-frame
+    coordinates multiplied by k) — the monocular scale-drift state Sim3
+    loop closure exists for (ref: LoopClosing.cc:233 mbFixScale=false)."""
     m = ms.empty(CFG.capacity)
     F = CFG.capacity.max_features
 
@@ -73,9 +80,10 @@ def build_loop_map(rng, n_kf=12, n_pts_per=60, drift_per_kf=0.02):
         desc = np.zeros((F, 32), np.uint8)
         desc[:k] = np.asarray(descs)
         depth = np.zeros(F, np.float32)
-        depth[:k] = p_cam[:, 2]
         ur = np.full(F, -1.0, np.float32)
-        ur[:k] = uv[:, 0] - CAM.bf / p_cam[:, 2]
+        if not mono:
+            depth[:k] = p_cam[:, 2]
+            ur[:k] = uv[:, 0] - CAM.bf / p_cam[:, 2]
         fvalid = np.zeros(F, bool)
         fvalid[:k] = True
         mp_idx = np.full(F, ms.NO_MP, np.int32)
@@ -133,8 +141,11 @@ def build_loop_map(rng, n_kf=12, n_pts_per=60, drift_per_kf=0.02):
 
     # Last KF: revisits KF0's scene — duplicate landmark copies placed
     # consistently with ITS drifted pose, same descriptors as KF0's points.
+    # Under scale drift the query's local structure sits at k x the true
+    # camera-frame distance (projecting to the SAME pixels — central
+    # projection is invariant to radial scaling about the camera).
     T_e, T_g = est[-1], gt[-1]
-    p_cam = (T_g[:3, :3] @ X0.T).T + T_g[:3, 3]
+    p_cam = scale_drift * ((T_g[:3, :3] @ X0.T).T + T_g[:3, 3])
     X_dup = (T_e[:3, :3].T @ (p_cam - T_e[:3, 3]).T).T.astype(np.float32)
     m, rows_dup = add_points(m, X_dup, desc0, n_kf - 1, est[-1])
     m, r_last = insert_kf(m, est[-1], X_dup, desc0, rows_dup)
@@ -347,3 +358,67 @@ class TestGlobalBA:
             np.asarray(m3.kf.Tcw[int(new_row)])[0, 3], est[-1][0, 3] + 1.0,
             atol=1e-5,
         )
+
+
+class TestMonoScaleDriftLoop:
+    """Monocular loop closure with SCALE drift — the case Sim3 (fix_scale=
+    False) exists for (ref: LoopClosing.cc:233 mbFixScale=false; VERDICT r4
+    missing #6). The query side's local structure is 12% larger than truth;
+    the loop must estimate s != 1 and correct_window + essential graph must
+    restore both the query pose AND the metric scale of its landmarks."""
+
+    K_DRIFT = 1.12
+
+    def _closed(self, rng):
+        m, gt, est, kf_c, kf_q = build_loop_map(
+            rng, mono=True, scale_drift=self.K_DRIFT)
+        key = jax.random.PRNGKey(0)
+        sb = lc.compute_sim3(CAM, m, kf_q, kf_c, key, CFG, fix_scale=False)
+        return m, gt, est, kf_c, kf_q, sb
+
+    def test_scale_recovered(self, rng):
+        m, gt, est, kf_c, kf_q, sb = self._closed(rng)
+        assert bool(sb.ok), (int(sb.n_bow), int(sb.n_inliers), int(sb.n_total))
+        assert abs(float(sb.s) - self.K_DRIFT) < 0.03, float(sb.s)
+
+    def test_close_loop_corrects_pose_and_scale(self, rng):
+        m, gt, est, kf_c, kf_q, sb = self._closed(rng)
+        assert bool(sb.ok)
+        closer = lc.LoopCloser.__new__(lc.LoopCloser)
+        closer.cam, closer.cfg = CAM, CFG
+        closer.loops = lc.LoopEdges.empty()
+        closer.n_loops = 0
+        closer.gba_runner = None
+        closer.stats = lc.LoopCloserStats()
+        closer.consistent_groups = []
+        closer.last_loop_kf = -1
+        # Duplicate landmark rows anchored at the query (ref_kf == kf_q).
+        dup_rows = np.nonzero(
+            np.asarray(m.mp.valid) & (np.asarray(m.mp.ref_kf) == kf_q))[0]
+        pos_before = np.asarray(m.mp.pos)[dup_rows]
+
+        m2 = closer.close_loop(m, kf_q, kf_c, sb)
+
+        T_q = np.asarray(m2.kf.Tcw[kf_q])
+        err_after = np.linalg.norm(T_q[:3, 3] - gt[-1][:3, 3])
+        err_before = np.linalg.norm(est[-1][:3, 3] - gt[-1][:3, 3])
+        assert err_after < 0.5 * err_before, (err_before, err_after)
+
+        # The query's landmarks (scale-drifted by K before) now sit at the
+        # true positions: scale error removed. Note fuse merges some
+        # duplicates into the candidate's (accurate) copies; restrict to
+        # rows still valid and still anchored at the query.
+        still = np.asarray(m2.mp.valid)[dup_rows]
+        if still.sum() >= 10:
+            pos_after = np.asarray(m2.mp.pos)[dup_rows[still]]
+            # true camera-frame distance vs corrected camera-frame distance
+            Tq2 = np.asarray(m2.kf.Tcw[kf_q])
+            d_after = np.linalg.norm(
+                (Tq2[:3, :3] @ pos_after.T).T + Tq2[:3, 3], axis=1)
+            Tg = gt[-1]
+            # distances of the TRUE structure from the gt camera
+            d_true = np.linalg.norm(
+                (Tg[:3, :3] @ pos_before[still].T).T + Tg[:3, 3],
+                axis=1) / self.K_DRIFT
+            ratio = np.median(d_after / d_true)
+            assert abs(ratio - 1.0) < 0.05, ratio
