@@ -285,11 +285,17 @@ def main():
     from corbslam_tpu.io import synthetic
     from corbslam_tpu.io import trajectory as traj_mod
 
+    import dataclasses
+
     cam = camera.Intrinsics.create(
         fx=718.856, fy=718.856, cx=607.1928, cy=185.2157, bf=386.1448,
         width=1241, height=376,
     )
-    cfg = KITTI_STEREO
+    # frames_per_dispatch=2: two frames per fused program halves the
+    # dispatch-submission tax so the recorded number survives sick relay
+    # windows (VERDICT r4 #2: >=15 fps AT 25 ms RTT, not waited out).
+    cfg = KITTI_STEREO.replace(tracking=dataclasses.replace(
+        KITTI_STEREO.tracking, frames_per_dispatch=2))
     world = synthetic.PlanarWorld(cam, texture_size=4096, plane_dist=12.0,
                                   texture_scale=60.0, seed=0)
     tilt = se3.exp(jnp.asarray([0, 0, 0, 0.35, 0, 0], jnp.float32))

@@ -45,7 +45,7 @@ def collect_synthetic_descriptors(n_worlds: int, frames_per_world: int,
     # universal vocabulary must generalize across scene statistics the way
     # the reference's ORBvoc (trained on Bovisa/unrelated imagery) does.
     for w in range(n_worlds):
-        if w % 2 == 0:
+        if w % 3 == 0:
             world = synthetic.PlanarWorld(
                 cam, texture_size=4096,
                 plane_dist=float(rng.uniform(6.0, 20.0)),
@@ -53,7 +53,7 @@ def collect_synthetic_descriptors(n_worlds: int, frames_per_world: int,
                 seed=seed * 101 + w,
             )
             render = lambda T, i: world.render(T)
-        else:
+        elif w % 3 == 1:
             room = synthetic.MultiPlaneWorld.room(
                 cam, half=float(rng.uniform(8.0, 18.0)),
                 height=float(rng.uniform(2.0, 4.0)),
@@ -61,6 +61,19 @@ def collect_synthetic_descriptors(n_worlds: int, frames_per_world: int,
                 seed=seed * 77 + w,
             )
             render = lambda T, i: room.render(T, frame=i)
+        else:
+            # Occluded/shaded scene (io/synthetic.SceneWorld): box
+            # silhouettes, Lambertian shading and exposure drift give the
+            # corpus corner/edge statistics neither texture-only world has.
+            scene = synthetic.SceneWorld.room_with_boxes(
+                cam, half=float(rng.uniform(8.0, 18.0)),
+                height=float(rng.uniform(2.0, 4.0)),
+                n_boxes=int(rng.integers(3, 8)),
+                box_ring=float(rng.uniform(5.0, 10.0)),
+                texture_scale=float(rng.uniform(40.0, 80.0)),
+                seed=seed * 53 + w,
+            )
+            render = lambda T, i: scene.render(T, frame=i)
         for i in range(frames_per_world):
             xi = np.zeros(6, np.float32)
             xi[:3] = rng.uniform(-1.5, 1.5, 3)
@@ -137,6 +150,11 @@ def main(argv=None):
     jax.block_until_ready(voc.word_bits)
     print(f"trained {voc.n_words}-word vocabulary ({time.time()-t0:.1f}s)",
           flush=True)
+    # Attach the 2-level descent tree so CPU consumers (collab workers,
+    # fusion server) get the DBoW2-style sublinear transform for free.
+    t0 = time.time()
+    voc = vocab_mod.build_tree(voc, n_groups=max(64, args.n_words // 128))
+    print(f"built descent tree ({time.time()-t0:.1f}s)", flush=True)
     vocab_mod.save(voc, args.out)
     print(f"saved -> {args.out}")
 

@@ -75,6 +75,13 @@ class TrackingConfig:
     # depth 1); host-visible state (trajectory, keyframe policy) lags by
     # this many frames.
     pipeline_depth: int = 2
+    # Consecutive frames chained inside ONE fused device program (2 =
+    # track_ops.track_frame_stereo2). Each jit submission through the axon
+    # relay costs the host a latency-dependent slice, so halving the
+    # dispatch count is what keeps ~15 fps when the relay RTT is sick
+    # (r4: 26 ms RTT cost 1.6 fps on identical code). Host-visible state
+    # (keyframe policy, trajectory) lags pipeline_depth frames as before.
+    frames_per_dispatch: int = 1
 
 
 @dataclass(frozen=True)

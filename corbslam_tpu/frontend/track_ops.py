@@ -416,6 +416,42 @@ def track_frame_stereo(
 
 
 @partial(jax.jit, static_argnames=("cam", "cfg"), donate_argnums=(0,))
+def track_frame_stereo2(
+    m: ms.MapState,
+    prev: FrameData,
+    velocity: jnp.ndarray,
+    img_l0: jnp.ndarray,
+    img_r0: jnp.ndarray,
+    img_l1: jnp.ndarray,
+    img_r1: jnp.ndarray,
+    ref_kf: jnp.ndarray,
+    prev_local_rows: jnp.ndarray,
+    prev_local_ok: jnp.ndarray,
+    cam: cam_mod.Intrinsics,
+    cfg: SlamConfig,
+):
+    """TWO consecutive stereo frames in ONE program (frames_per_dispatch=2).
+
+    Halves the per-frame dispatch count: through the axon relay each jit
+    submission costs the host a latency-dependent slice (r4: identical
+    code measured 15.2 fps at 0.1 ms dispatch RTT vs 13.6 at 26 ms), so
+    at 10 fps-equivalent load the submission tax — not device compute —
+    is what a sick relay window takes away. Tracking is sequential by
+    nature (frame 1 linearizes around frame 0's result), so the two
+    steps chain inside the program exactly as they would across
+    dispatches; keyframe policy still runs per frame at retire time."""
+    from . import frame as frame_mod
+
+    cur0 = frame_mod.build_frame_stereo(img_l0, img_r0, cam, cfg.orb)
+    o0 = _track_core(cam, m, cur0, prev, velocity, ref_kf,
+                     prev_local_rows, prev_local_ok, cfg)
+    cur1 = frame_mod.build_frame_stereo(img_l1, img_r1, cam, cfg.orb)
+    o1 = _track_core(cam, o0.map, cur1, o0.cur, o0.velocity, o0.ref_kf,
+                     o0.local_rows, o0.local_ok, cfg)
+    return o0, o1
+
+
+@partial(jax.jit, static_argnames=("cam", "cfg"), donate_argnums=(0,))
 def track_frame_rgbd(
     m: ms.MapState,
     prev: FrameData,

@@ -75,6 +75,9 @@ class StereoTracker:
         # In-flight fused frames, retired cfg.tracking.pipeline_depth frames
         # late so the summary sync never waits on live device compute.
         self._pending: deque = deque()
+        # Frame pair buffer for frames_per_dispatch=2 (one program tracks
+        # two consecutive frames; see track_ops.track_frame_stereo2).
+        self._pair_buf: list = []
         # Deferred per-keyframe mapping stages (the reference's LocalMapping
         # THREAD, LocalMapping.cc:44): each entry is one device program,
         # executed one per frame so keyframe frames stop paying the whole
@@ -203,34 +206,51 @@ class StereoTracker:
             prev_local_ok=self._local_ok,
             cam=self.cam, cfg=self.cfg,
         )
-        if sensor == "stereo":
+        if (self.cfg.tracking.frames_per_dispatch >= 2
+                and sensor == "stereo"):
+            # Buffer one frame; dispatch both in ONE program.
+            self._pair_buf.append((images, timestamp))
+            if len(self._pair_buf) < 2:
+                return self.current_pose()
+            (im0, t0), (im1, t1) = self._pair_buf
+            self._pair_buf.clear()
+            o0, o1 = track_ops.track_frame_stereo2(
+                self.map, self.last_frame, self.velocity,
+                im0[0], im0[1], im1[0], im1[1], **kwargs)
+            outs = ((o0, t0), (o1, t1))
+        elif sensor == "stereo":
             out = track_ops.track_frame_stereo(
                 self.map, self.last_frame, self.velocity, images[0], images[1],
                 **kwargs)
+            outs = ((out, timestamp),)
         elif sensor == "rgbd":
             out = track_ops.track_frame_rgbd(
                 self.map, self.last_frame, self.velocity, images[0], images[1],
                 **kwargs)
+            outs = ((out, timestamp),)
         else:
             out = track_ops.track_frame_mono(
                 self.map, self.last_frame, self.velocity, images[0], **kwargs)
+            outs = ((out, timestamp),)
 
         # Advance the device-side state immediately (all async).
+        out = outs[-1][0]
         self.map = out.map
         self.last_frame = out.cur
         self.velocity = out.velocity
         self._local_rows = out.local_rows
         self._local_ok = out.local_ok
         self._ref_kf_dev = out.ref_kf
-        # Start the device->host copy of the summary NOW; by the time this
-        # frame retires (pipeline_depth frames later) the bytes are already
-        # on the host and np.asarray is a no-wait read.
-        try:
-            out.summary.copy_to_host_async()
-        except AttributeError:  # older jax array types
-            pass
-        self._pending.append((out, timestamp, self.frame_id))
-        self.frame_id += 1
+        for o, ts in outs:
+            # Start the device->host copy of the summary NOW; by the time
+            # this frame retires (pipeline_depth frames later) the bytes
+            # are already on the host and np.asarray is a no-wait read.
+            try:
+                o.summary.copy_to_host_async()
+            except AttributeError:  # older jax array types
+                pass
+            self._pending.append((o, ts, self.frame_id))
+            self.frame_id += 1
         while len(self._pending) > self.cfg.tracking.pipeline_depth:
             self._retire(*self._pending.popleft())
         return self.current_pose()
@@ -238,6 +258,24 @@ class StereoTracker:
     def flush(self):
         """Retire all in-flight pipelined frames and drain the deferred
         mapping stages, leaving a fully consistent map."""
+        if self._pair_buf:
+            # Odd buffered frame: dispatch it through the 1-frame program.
+            (im, ts), = self._pair_buf
+            self._pair_buf.clear()
+            out = track_ops.track_frame_stereo(
+                self.map, self.last_frame, self.velocity, im[0], im[1],
+                ref_kf=self._ref_kf_dev,
+                prev_local_rows=self._local_rows,
+                prev_local_ok=self._local_ok,
+                cam=self.cam, cfg=self.cfg)
+            self.map = out.map
+            self.last_frame = out.cur
+            self.velocity = out.velocity
+            self._local_rows = out.local_rows
+            self._local_ok = out.local_ok
+            self._ref_kf_dev = out.ref_kf
+            self._pending.append((out, ts, self.frame_id))
+            self.frame_id += 1
         while self._pending:
             self._retire(*self._pending.popleft())
         while self._stage_q:
@@ -734,6 +772,7 @@ class StereoTracker:
         behaves the same (its Reset does not retract served keyframes)."""
         self._pending.clear()
         self._stage_q.clear()
+        self._pair_buf.clear()
         self.map = ms.empty(self.cfg.capacity)
         self._state = TrackState.NOT_INITIALIZED
         self.last_frame = None

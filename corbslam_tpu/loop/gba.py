@@ -64,6 +64,7 @@ def build_global_problem(m: ms.MapState, cfg: SlamConfig) -> ba.BAProblem:
 def build_global_problem_dense(
     m: ms.MapState, cfg: SlamConfig,
     n_kf_hint: int | None = None, n_mp_hint: int | None = None,
+    with_pm: bool = True,
 ) -> ba_dense.BADense:
     """Right-sized whole-map BA problem in the tile-native plane layout:
     per-keyframe observation budget instead of the capacity-sized [N*F]
@@ -77,24 +78,31 @@ def build_global_problem_dense(
     point-major table's K is sized from the map's actual max observations
     per point (power-of-two bucket, cap 128) so no observation is dropped
     on normal maps."""
-    # One episodic host sync: the per-point observation count maximum.
-    # Computed UNCONDITIONALLY (advisor r4): a fixed default pm_k silently
-    # dropped observations beyond it for callers without hints, and the
-    # r4 loop-e2e bisect showed exactly that bias bending converged GBA.
-    idx = m.kf.mp_idx
-    ok = (idx >= 0) & m.kf.fvalid & m.kf.valid[:, None]
-    counts = jnp.zeros(m.mp.capacity + 1, jnp.int32).at[
-        jnp.where(ok, idx, m.mp.capacity).reshape(-1)
-    ].add(1, mode="drop")
-    max_obs = int(jnp.max(counts[:-1]))
-    pm_k = 8
-    while pm_k < max_obs and pm_k < 128:
-        pm_k *= 2
-    if max_obs > 128:
-        import sys
-        print(f"[gba] pm_k capped at 128 but max obs/point is {max_obs}; "
-              "excess observations beyond the even-stride sample are "
-              "dropped from the point-major table", file=sys.stderr)
+    if not with_pm:
+        # Camera-sharded distributed path: keeps scatter + psum and
+        # discards any pm table — skip building it so NO observation is
+        # thinned for a structure that would be thrown away (advisor r4).
+        pm_k = None
+    else:
+        # One episodic host sync: the per-point observation count maximum.
+        # Computed UNCONDITIONALLY (advisor r4): a fixed default pm_k
+        # silently dropped observations beyond it for callers without
+        # hints, and the r4 loop-e2e bisect showed exactly that bias
+        # bending converged GBA.
+        idx = m.kf.mp_idx
+        ok = (idx >= 0) & m.kf.fvalid & m.kf.valid[:, None]
+        counts = jnp.zeros(m.mp.capacity + 1, jnp.int32).at[
+            jnp.where(ok, idx, m.mp.capacity).reshape(-1)
+        ].add(1, mode="drop")
+        max_obs = int(jnp.max(counts[:-1]))
+        pm_k = 8
+        while pm_k < max_obs and pm_k < 128:
+            pm_k *= 2
+        if max_obs > 128:
+            import sys
+            print(f"[gba] pm_k capped at 128 but max obs/point is {max_obs};"
+                  " excess observations beyond the even-stride sample are "
+                  "dropped from the point-major table", file=sys.stderr)
     p = ba_dense.problem_from_map(
         m, cfg.orb.scale_factor, cfg.loop.gba_obs_per_kf, pm_k=pm_k)
     if n_kf_hint is not None:
@@ -228,7 +236,8 @@ class GlobalBARunner:
         # back for the capacity-shaped merge.
         n_kf_i, n_mp_i = int(m.n_kf), int(m.n_mp)
         prob = build_global_problem_dense(
-            m, self.cfg, n_kf_hint=n_kf_i, n_mp_hint=n_mp_i)
+            m, self.cfg, n_kf_hint=n_kf_i, n_mp_hint=n_mp_i,
+            with_pm=self.mesh is None)
         prob = prob._replace(
             Tcw=jnp.array(prob.Tcw, copy=True),
             X=jnp.array(prob.X, copy=True),

@@ -505,14 +505,17 @@ def compact_rows(ok: jnp.ndarray, budget: int) -> jnp.ndarray:
 
 def problem_from_map(
     m, scale_factor: float, obs_per_kf: int, gauge_row: int = 0,
-    pm_k: int = 24,
+    pm_k: int | None = 24,
 ) -> BADense:
     """Flatten the full map into a BADense with a per-keyframe observation
     budget — the right-sized global-BA problem (GlobalBundleAdjustemnt's
     all-KFs/all-points graph, ref Optimizer.cc:43-54) that made the
     capacity-sized [N*F] flattening OOM-proof. `pm_k` caps observations
     per point for the point-major gather table (overflow observations are
-    dropped; well-observed points lose only their weakest redundancy)."""
+    dropped; well-observed points lose only their weakest redundancy).
+    `pm_k=None` skips the table AND its thinning entirely — the camera-
+    sharded distributed path keeps scatter+psum and must not lose
+    observations to a table it discards (advisor r4)."""
     idx = m.kf.mp_idx
     ok = (idx >= 0) & m.kf.fvalid & m.kf.valid[:, None]
     ok &= jnp.where(idx >= 0, m.mp.valid[jnp.clip(idx, 0)], False)
@@ -527,7 +530,10 @@ def problem_from_map(
     inv_sigma2 = _inv_sigma2_of(take(m.kf.octave), scale_factor)
 
     P = m.mp.pos.shape[0]
-    pm_src, pm_ok, active = build_point_major(ids, active, P, pm_k)
+    if pm_k is None:
+        pm_src = pm_ok = None
+    else:
+        pm_src, pm_ok, active = build_point_major(ids, active, P, pm_k)
 
     pose_fixed = ~m.kf.valid | m.kf.fixed
     pose_fixed = pose_fixed.at[gauge_row].set(True)

@@ -277,6 +277,7 @@ def _assign_tree(bits: jnp.ndarray, voc: Vocabulary) -> jnp.ndarray:
         kids, jnp.argmin(d, axis=1)[:, None], axis=1)[:, 0]
 
 
+@jax.jit
 def transform(
     voc: Vocabulary,
     desc: jnp.ndarray,   # [F, 32] packed
@@ -300,6 +301,7 @@ def transform(
     return v / jnp.maximum(jnp.sum(jnp.abs(v)), 1e-9)
 
 
+@jax.jit
 def transform_sparse(voc: Vocabulary, desc: jnp.ndarray, valid: jnp.ndarray):
     """BoW in sparse wire form: (word_ids [F] i32, weights [F] f32), padded
     with id -1. At most F distinct words fire per keyframe, so shipping

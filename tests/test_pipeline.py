@@ -304,3 +304,32 @@ class TestLostEarlyHardReset:
         assert tracker.state == TrackState.OK
         assert tracker.stats.n_keyframes >= 1
         assert bool(jnp.isfinite(tracker.map.kf.Tcw).all())
+
+
+class TestTwoFramePerDispatch:
+    """frames_per_dispatch=2 (track_ops.track_frame_stereo2): two frames
+    chained in one program must reproduce the single-dispatch pipeline's
+    tracking quality — the dispatch-halving mode the flagship bench runs
+    at sick relay RTT."""
+
+    def test_matches_single_dispatch_quality(self, world):
+        import dataclasses
+        cfg2 = CFG.replace(tracking=dataclasses.replace(
+            CFG.tracking, frames_per_dispatch=2))
+        gt = gt_trajectory(17)  # odd count exercises the flush tail
+        results = {}
+        for name, cfg in (("fpd1", CFG), ("fpd2", cfg2)):
+            tracker = StereoTracker(CAM, cfg)
+            for i, Tcw in enumerate(gt):
+                img_l, img_r = world.render_stereo(Tcw)
+                tracker.process_stereo(img_l, img_r, timestamp=i * 0.1)
+            tracker.flush()
+            assert tracker.state == TrackState.OK
+            assert len(tracker.trajectory) == len(gt)
+            est = [np.asarray(se3.inverse(jnp.asarray(T)))
+                   for _, T in tracker.trajectory]
+            gtw = [np.asarray(se3.inverse(T)) for T in gt]
+            results[name] = trajectory.ate_rmse(
+                np.asarray(est), np.asarray(gtw), align=True)
+        assert results["fpd2"] < 0.06, results
+        assert results["fpd2"] < results["fpd1"] * 2.0 + 0.01, results
