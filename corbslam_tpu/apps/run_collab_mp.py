@@ -155,6 +155,79 @@ def run_server(args):
 
 
 # ---------------------------------------------------------------------------
+def _warm_collab_programs(cam, cfg, cid: int):
+    """Compile the downlink-apply programs BEFORE the timed region by
+    feeding synthetic foreign traffic through a throwaway cache.
+
+    The r4 fleet artifacts showed clients that received foreign entities
+    losing 75-87 s of their timed window to t_downlink while early-joining
+    clients paid ~1 s: the difference is first-use XLA compiles of the
+    foreign-ingest programs (insert_mp_chunk / insert_kf_chunk /
+    transform_poses / the delta scatters), which the 1-client scaling
+    BASELINE never executes at all — a pure compile asymmetry polluting
+    the efficiency ratio, not real collaboration overhead."""
+    import types
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..collab import wire
+    from ..collab.client_cache import ClientCache
+    from ..collab.transport import InProcTransport
+    from ..mapstate import mapstate as ms_mod
+
+    shim = types.SimpleNamespace(
+        map=ms_mod.empty(cfg.capacity), on_compact=[], on_reset=[],
+        _kf_cursor_est=0)
+    tr = InProcTransport(serialize=True)
+    cache = ClientCache(shim, tr, cid, cfg)
+    F = cfg.capacity.max_features
+    n_mp, n_kf = 24, 2
+    other = cid + 1
+    stride = cfg.collab.client_id_stride
+    mp_gids = other * stride + np.arange(n_mp, dtype=np.int64)
+    kf_gids = other * stride + np.arange(n_kf, dtype=np.int64)
+    rng = np.random.default_rng(0)
+    tr.publish(wire.TOPIC_NEW_MPS, wire.mp_insert_msg(
+        gid=mp_gids, client=np.full(n_mp, other, np.int32),
+        pos=rng.normal(0, 5, (n_mp, 3)).astype(np.float32),
+        normal=np.tile(np.asarray([0, 0, 1], np.float32), (n_mp, 1)),
+        desc=rng.integers(0, 256, (n_mp, 32), dtype=np.uint8),
+        min_dist=np.ones(n_mp, np.float32),
+        max_dist=np.full(n_mp, 10.0, np.float32),
+        ref_kf_gid=np.full(n_mp, kf_gids[0], np.int64),
+    ))
+    mp_gid_grid = np.full((n_kf, F), -1, np.int64)
+    mp_gid_grid[:, :n_mp] = mp_gids
+    tr.publish(wire.TOPIC_NEW_KFS, wire.kf_insert_msg(
+        gid=kf_gids, client=np.full(n_kf, other, np.int32),
+        Tcw=np.tile(np.eye(4, dtype=np.float32), (n_kf, 1, 1)),
+        xy=rng.uniform(0, 100, (n_kf, F, 2)).astype(np.float32),
+        octave=np.zeros((n_kf, F), np.int32),
+        angle=np.zeros((n_kf, F), np.float32),
+        desc=rng.integers(0, 256, (n_kf, F, 32), dtype=np.uint8),
+        uright=np.full((n_kf, F), -1.0, np.float32),
+        depth=np.zeros((n_kf, F), np.float32),
+        fvalid=np.ones((n_kf, F), bool),
+        mp_gid=mp_gid_grid,
+        frame_id=np.arange(n_kf, dtype=np.int32),
+        timestamp=np.zeros(n_kf, np.float32),
+    ))
+    cache.downlink_step()
+    # Delta scatters (bucketed shapes) + the TRANSM lookup path.
+    trans = wire.transm_msg({cid: (np.eye(3, dtype=np.float32),
+                                   np.zeros(3, np.float32), 1.0)})
+    mkf = wire.kf_pose_msg(kf_gids, np.tile(np.eye(4, dtype=np.float32),
+                                            (n_kf, 1, 1)))
+    mkf.update(trans)
+    tr.publish(wire.TOPIC_UPD_KFS, mkf)
+    mmp = wire.mp_pos_msg(mp_gids, np.zeros((n_mp, 3), np.float32))
+    mmp.update(trans)
+    tr.publish(wire.TOPIC_UPD_MPS, mmp)
+    cache.downlink_step()
+    jnp.asarray(shim.map.kf.Tcw).block_until_ready()
+
+
 def run_client(args):
     _force_cpu()
     import jax.numpy as jnp
@@ -198,6 +271,7 @@ def run_client(args):
         l, r = world.render_stereo(gt_pose(i))
         frames.append((np.asarray(l), np.asarray(r)))
     c.track_stereo(jnp.asarray(frames[0][0]), jnp.asarray(frames[0][1]), 0.0)
+    _warm_collab_programs(cam, cfg, args.client_id)
 
     # Per-phase wall accounting: tracking vs collaboration (uplink/downlink)
     # — the diagnostic breakdown the r2 judge asked for on the 8x per-client

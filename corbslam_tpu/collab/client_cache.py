@@ -619,26 +619,55 @@ class ClientCache:
 
                 lc = self.loop_closer
                 rj = jnp.asarray(rows_np)
-                bows = vocab_mod.transform_many(
-                    lc.voc, m.kf.desc[rj], m.kf.fvalid[rj])
+                if "bow_ids" in msg:
+                    # Server shipped the BoW sparsely — scatter, don't
+                    # recompute the W-word transform (r4 worker cost).
+                    ids = jnp.asarray(P(msg["bow_ids"], -1))
+                    vals = jnp.asarray(P(msg["bow_vals"], 0.0))
+                    W = lc.voc.n_words
+                    bows = jnp.zeros((C, W), jnp.float32).at[
+                        jnp.arange(C)[:, None], jnp.clip(ids, 0)
+                    ].add(jnp.where(ids >= 0, vals, 0.0))[: len(sel)]
+                else:
+                    bows = vocab_mod.transform_many(
+                        lc.voc, m.kf.desc[rj], m.kf.fvalid[rj])
                 lc.db = lc.db.add_batch(rj, bows)
         self.tracker.map = m
 
+    @staticmethod
+    def _pow2_pad(n: int) -> int:
+        b = 8
+        while b < n:
+            b *= 2
+        return b
+
     def _apply_kf_poses(self, msg):
         """Server-optimized poses for FIXED (foreign) keyframes only — own
-        entities are authoritative locally (Cache.cc:574)."""
+        entities are authoritative locally (Cache.cc:574).
+
+        Inputs are padded to power-of-two buckets: every distinct delta
+        count otherwise compiles a fresh scatter program DURING the timed
+        window (each server optimization broadcast moves a different
+        number of keyframes); padding rows scatter out of bounds and are
+        dropped."""
         gids = msg["gid"]
         rows = self.kf_ids.rows_for(gids)
         m = self.tracker.map
         fixed = np.asarray(m.kf.fixed)
         sel = (rows >= 0) & fixed[np.clip(rows, 0, None)]
-        if not sel.any():
+        n = int(sel.sum())
+        if n == 0:
             return
         Sinv = self._own_transform_inv(msg)
-        Tcw = fusion_ops.transform_poses(jnp.asarray(msg["Tcw"][sel]), Sinv)
-        r = jnp.asarray(rows[sel])
+        B = self._pow2_pad(n)
+        T_in = np.tile(np.eye(4, dtype=np.float32), (B, 1, 1))
+        T_in[:n] = msg["Tcw"][sel]
+        r_in = np.full(B, m.kf.capacity, np.int32)  # OOB -> dropped
+        r_in[:n] = rows[sel]
+        Tcw = fusion_ops.transform_poses(jnp.asarray(T_in), Sinv)
         self.tracker.map = m._replace(
-            kf=m.kf._replace(Tcw=m.kf.Tcw.at[r].set(Tcw))
+            kf=m.kf._replace(
+                Tcw=m.kf.Tcw.at[jnp.asarray(r_in)].set(Tcw, mode="drop"))
         )
 
     def _apply_mp_pos(self, msg):
@@ -647,11 +676,17 @@ class ClientCache:
         m = self.tracker.map
         fixed = np.asarray(m.mp.fixed)
         sel = (rows >= 0) & fixed[np.clip(rows, 0, None)]
-        if not sel.any():
+        n = int(sel.sum())
+        if n == 0:
             return
         Sinv = self._own_transform_inv(msg)
-        pos = sim3.transform(Sinv, jnp.asarray(msg["pos"][sel]))
-        r = jnp.asarray(rows[sel])
+        B = self._pow2_pad(n)
+        p_in = np.zeros((B, 3), np.float32)
+        p_in[:n] = msg["pos"][sel]
+        r_in = np.full(B, m.mp.capacity, np.int32)
+        r_in[:n] = rows[sel]
+        pos = sim3.transform(Sinv, jnp.asarray(p_in))
         self.tracker.map = m._replace(
-            mp=m.mp._replace(pos=m.mp.pos.at[r].set(pos))
+            mp=m.mp._replace(
+                pos=m.mp.pos.at[jnp.asarray(r_in)].set(pos, mode="drop"))
         )

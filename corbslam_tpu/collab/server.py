@@ -324,6 +324,21 @@ class MapFusionServer:
     _ALIGN_QUERY_CHUNK = 256   # sub-map keyframes BoW-scored per dispatch
     _ALIGN_VERIFY_MAX = 8      # geometric verifications per fusion attempt
 
+    def _serve_between_steps(self):
+        """Drain pending service calls at a safe boundary inside long
+        fusion work. The alignment scan can take seconds on a contended
+        host; without this every client uplink blocks on its ACK for the
+        whole scan (the r4 fleet's 34-136 s t_uplink stalls). Handlers run
+        synchronously on THIS thread, so the single-writer discipline is
+        preserved; entities inserted mid-scan are merged by _merge_submap's
+        own fresh read (or the next scan)."""
+        t = getattr(self, "transport", None)
+        if t is not None and hasattr(t, "serve_calls"):
+            try:
+                t.serve_calls()
+            except Exception:
+                pass
+
     def _try_align(self, sm: SubMap) -> Optional[tuple]:
         """detectKeyFrameInServerMap over the sub-map's keyframes
         (MapFusion.cpp:488-521), BATCHED: every sub-map keyframe is scored
@@ -339,6 +354,7 @@ class MapFusionServer:
         QC = self._ALIGN_QUERY_CHUNK
         pairs = []
         for lo in range(0, len(kfv), QC):
+            self._serve_between_steps()
             sel = kfv[lo:lo + QC]
             pad = QC - len(sel)
             selj = jnp.asarray(
@@ -354,6 +370,7 @@ class MapFusionServer:
                     pairs.append((float(v), int(sel[a]), int(r)))
         pairs.sort(reverse=True)
         for _, q, r in pairs[: self._ALIGN_VERIFY_MAX]:
+            self._serve_between_steps()
             res = fusion_ops.detect_overlap(
                 self.cam, self.gmap, r, sm.map, q,
                 self._next_key(), self.cfg,
@@ -479,6 +496,7 @@ class MapFusionServer:
         self.gmap = lc.fuse_loop_points(
             self.cam, self.gmap, kf_c, kf_q, self.cfg)
         self.stats["seam_fuses"] += 1
+        self._serve_between_steps()
 
         # 2. Essential graph over the merged map with the seam edge. The
         # measurement is the CURRENT relative Sim3 (the seam is consistent
@@ -496,6 +514,7 @@ class MapFusionServer:
             n_iters=self.cfg.loop.pose_graph_iters,
         )
         self.stats["essential_graph_runs"] += 1
+        self._serve_between_steps()
 
         # 3. Global BA.
         if self.gba is not None:
@@ -546,6 +565,24 @@ class MapFusionServer:
             frame_id=np.asarray(m.kf.frame_id[rj]),
             timestamp=np.asarray(m.kf.timestamp[rj]),
         )
+        # Ship the BoW vectors the server already computed for its own
+        # database in SPARSE form (~8 B/feature): every receiving client
+        # with a loop closer then scatters them into its local database
+        # instead of re-running the W-word vocabulary transform per
+        # foreign keyframe (the r4 worker-cost item; the reference ships
+        # mBowVec inside the serialized KeyFrame the same way,
+        # KeyFrame.h:60-87 + SerializeObject.h:86-120).
+        bow = np.asarray(self.gdb.bow[rj])               # [K, W]
+        F = m.kf.n_features
+        K = len(rows)
+        bids = np.full((K, F), -1, np.int32)
+        bvals = np.zeros((K, F), np.float32)
+        for k in range(K):
+            nz = np.nonzero(bow[k])[0][:F]
+            bids[k, : len(nz)] = nz
+            bvals[k, : len(nz)] = bow[k, nz]
+        msg["bow_ids"] = bids
+        msg["bow_vals"] = bvals
         msg.update(trans)
         self.transport.publish(wire.TOPIC_NEW_KFS, msg)
 

@@ -18,6 +18,8 @@ Two granularities:
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -158,6 +160,7 @@ def top_covisible_of(m: MapState, q, k: int, min_weight: int = 1,
     return rows, ok
 
 
+@partial(jax.jit, static_argnames=("n_group",))
 def covis_groups_rows(m: MapState, rows: jnp.ndarray, n_group: int = 10):
     """[C, n_group] covisible-group keyframe rows for each given row + ok
     mask — the per-candidate accumulation groups of DetectLoopCandidates

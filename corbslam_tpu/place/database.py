@@ -13,6 +13,7 @@ pointer walks (KeyFrameDatabase.cc:118-160).
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -69,6 +70,7 @@ class BowDatabase(NamedTuple):
         )
 
 
+@partial(jax.jit, static_argnames=("k", "min_covis_weight", "min_row_gap"))
 def detect_loop_candidates(
     db: BowDatabase,
     m: ms.MapState,
@@ -134,6 +136,7 @@ def detect_loop_candidates(
     return r0[ri], jnp.isfinite(vals)
 
 
+@partial(jax.jit, static_argnames=("k",))
 def detect_relocalization_candidates(
     db: BowDatabase,
     m: ms.MapState,

@@ -16,14 +16,13 @@ tests/test_descriptors.py tests/test_frontend_ops.py tests/test_geometry.py \
 tests/test_init_reloc.py tests/test_loop.py tests/test_optim.py \
 tests/test_parallel.py tests/test_place.py"
 
-H2="tests/test_loop_e2e.py"
-
 H3="tests/test_pipeline.py tests/test_pose_graph.py \
 tests/test_rectify.py tests/test_shm_transport.py tests/test_solvers.py \
 tests/test_stream.py tests/test_structured_world.py tests/test_system.py \
 tests/test_transport.py tests/test_viz.py"
 
 python -m pytest $H1 -q "$@"
-python -m pytest $H2 -q "$@"
+python -m pytest tests/test_loop_e2e.py -q -k TestLoopClosureEndToEnd "$@"
+python -m pytest tests/test_loop_e2e.py -q -k TestMultiLoopEndToEnd "$@"
 python -m pytest $H3 -q "$@"
-echo "SUITE GREEN (all three parts)"
+echo "SUITE GREEN (all four parts)"
