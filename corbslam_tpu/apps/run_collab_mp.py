@@ -294,8 +294,16 @@ def run_client(args):
                        i * 0.1)
     dt = time.perf_counter() - t0
     c.shutdown()
-    time.sleep(0.5)  # stay subscribed for the server's final broadcast
-    c.cache.downlink_step()
+    # Stay subscribed for the server's post-fusion broadcast: the fusion
+    # scan runs at 1 Hz and the TRANSM for a just-fused client rides the
+    # NEXT broadcast — a fixed 0.5 s linger raced it (has_transm=false on
+    # fused clients in r4 artifacts even after the lookup fix).
+    t_linger = time.time()
+    while time.time() - t_linger < 6.0:
+        c.cache.downlink_step()
+        if c.cache.Ttrans is not None:
+            break
+        time.sleep(0.3)
     st = c.cache.stats
     out = {
         "client": args.client_id,

@@ -635,6 +635,20 @@ class MapFusionServer:
         trans = wire.transm_msg(self.transMs)
         n_kf, n_mp = int(m.n_kf), int(m.n_mp)
 
+        # TRANSM heartbeat: a client fused AFTER the map contents went out
+        # would otherwise never see its alignment (no new entities -> no
+        # messages -> no TRANSM side channel; the reference re-sends the
+        # whole map after every fusion instead, MapFusion.cpp:370). When
+        # the alignment set changes, push one empty pose-delta message
+        # whose only payload is the TRANSM map.
+        tkey = tuple(sorted(self.transMs.keys()))
+        if tkey != getattr(self, "_transm_sent", ()):
+            hb = wire.kf_pose_msg(np.zeros(0, np.int64),
+                                  np.zeros((0, 4, 4), np.float32))
+            hb.update(trans)
+            self.transport.publish(wire.TOPIC_UPD_KFS, hb)
+            self._transm_sent = tkey
+
         # New map points since last broadcast.
         if n_mp > self._bcast_mp:
             rows = np.arange(self._bcast_mp, n_mp)

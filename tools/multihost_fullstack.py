@@ -137,6 +137,20 @@ def worker(args):
         shapes = np.zeros(3, np.int32)
 
     # ---- cross-process handoff: shapes, then the problem ---------------
+    # Filesystem rendezvous first: the fleet phase takes minutes and the
+    # Gloo context behind the broadcast collective times out its key-value
+    # rendezvous after ~30 s — rank 1 must not enter the collective until
+    # rank 0 is actually ready.
+    ready = os.path.join(args.tmp, "fleet_done")
+    if args.proc == 0:
+        with open(ready, "w") as f:
+            f.write("1")
+    else:
+        t0 = time.time()
+        while not os.path.exists(ready):
+            if time.time() - t0 > args.timeout:
+                raise RuntimeError("rank0 never finished the fleet phase")
+            time.sleep(0.5)
     shapes = np.asarray(mhu.broadcast_one_to_all(shapes))
     C, P, Fb = (int(x) for x in shapes)
     if args.proc != 0:
@@ -210,12 +224,19 @@ def main():
                    "--timeout", str(args.timeout)]
     procs = []
     for i in range(2):
-        procs.append(subprocess.Popen(
-            [sys.executable, os.path.abspath(__file__), "--proc", str(i)]
-            + args_common, cwd=REPO))
+        log = open(os.path.join(tmp, f"rank{i}.log"), "w")
+        procs.append((subprocess.Popen(
+            [sys.executable, "-u", os.path.abspath(__file__),
+             "--proc", str(i)] + args_common,
+            cwd=REPO, stdout=log, stderr=subprocess.STDOUT), log))
     rc = 0
-    for p in procs:
+    for i, (p, log) in enumerate(procs):
         rc |= p.wait(timeout=args.timeout + 120)
+        log.close()
+        print(f"--- rank {i} (exit {p.returncode}; log {log.name}) ---")
+        with open(log.name) as f:
+            tail = f.readlines()[-25:]
+        sys.stdout.writelines(tail)
     sys.exit(rc)
 
 
