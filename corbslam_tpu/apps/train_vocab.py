@@ -161,33 +161,59 @@ def main(argv=None):
     ap.add_argument("--frames-per-world", type=int, default=24)
     ap.add_argument("--limit", type=int, default=0)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--flat", action="store_true",
+                    help="flat k-majority + post-hoc tree (legacy)")
+    ap.add_argument("--save-corpus", default=None,
+                    help="dump the rendered descriptor corpus to this npz")
+    ap.add_argument("--corpus", default=None,
+                    help="train from a previously saved corpus npz")
     args = ap.parse_args(argv)
 
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
     from ..place import vocab as vocab_mod
 
     t0 = time.time()
-    if args.images:
+    if args.corpus:
+        desc = np.load(args.corpus)["desc"]
+    elif args.images:
         desc = collect_image_dir_descriptors(args.images, args.limit)
     else:
         desc = collect_synthetic_descriptors(
             args.n_worlds, args.frames_per_world, args.seed)
     print(f"corpus: {desc.shape[0]} descriptors ({time.time()-t0:.1f}s)",
           flush=True)
+    if args.save_corpus:
+        np.savez_compressed(args.save_corpus, desc=desc)
+        print(f"corpus saved -> {args.save_corpus}", flush=True)
 
     t0 = time.time()
-    voc = vocab_mod.train_chunked(
-        desc, n_words=args.n_words, n_iters=args.n_iters, seed=args.seed)
-    import jax
+    if args.flat:
+        voc = vocab_mod.train_chunked(
+            desc, n_words=args.n_words, n_iters=args.n_iters, seed=args.seed)
+        import jax
 
-    jax.block_until_ready(voc.word_bits)
-    print(f"trained {voc.n_words}-word vocabulary ({time.time()-t0:.1f}s)",
-          flush=True)
-    # Attach the 2-level descent tree so CPU consumers (collab workers,
-    # fusion server) get the DBoW2-style sublinear transform for free.
-    t0 = time.time()
-    voc = vocab_mod.build_tree(voc, n_groups=max(64, args.n_words // 128))
-    print(f"built descent tree ({time.time()-t0:.1f}s)", flush=True)
+        jax.block_until_ready(voc.word_bits)
+        print(f"trained {voc.n_words}-word flat vocabulary "
+              f"({time.time()-t0:.1f}s)", flush=True)
+        t0 = time.time()
+        voc = vocab_mod.build_tree(voc, n_groups=max(64, args.n_words // 32))
+        print(f"built post-hoc descent tree ({time.time()-t0:.1f}s)",
+              flush=True)
+    else:
+        # DBoW2's actual construction (TemplatedVocabulary::create): words
+        # trained INSIDE their group's corpus partition, so the shipped
+        # tree's greedy descent is self-consistent (a post-hoc tree over a
+        # flat vocabulary loses ~0.2 recall@1, tools/vocab_tree_diag.py).
+        B = 32
+        G = max(1, args.n_words // B)
+        voc = vocab_mod.train_hierarchical(
+            desc, n_groups=G, words_per_group=B, n_iters=args.n_iters,
+            seed=args.seed)
+        import jax
+
+        jax.block_until_ready(voc.word_bits)
+        print(f"trained hierarchical {G}x{B}={voc.n_words}-word vocabulary "
+              f"({time.time()-t0:.1f}s)", flush=True)
     vocab_mod.save(voc, args.out)
     print(f"saved -> {args.out}")
 

@@ -226,55 +226,221 @@ def train_chunked(
     return Vocabulary(word_bits=words, idf=idf)
 
 
-def build_tree(voc: Vocabulary, n_groups: int = 256, n_iters: int = 8,
-               seed: int = 0) -> Vocabulary:
+def train_hierarchical(
+    descriptors,  # [N, 32] uint8 packed (numpy ok)
+    n_groups: int = 1024,
+    words_per_group: int = 32,
+    n_iters: int = 8,
+    seed: int = 0,
+    chunk: int = 16384,
+) -> Vocabulary:
+    """Train a 2-level HIERARCHICAL vocabulary — the reference's actual
+    DBoW2 construction (TemplatedVocabulary::create / HKmeansStep: k-means
+    the corpus per node, recurse into each cluster's descriptors), at
+    branch factors (G=1024, B=32) sized for one matmul per level.
+
+    Why not a flat vocabulary + post-hoc tree: greedy descent over a
+    post-hoc bucketing of flat words misassigns boundary descriptors (41%
+    agreement with exact assignment, held-out recall@1 0.86 -> 0.64,
+    tools/vocab_tree_diag.py) because flat word clusters don't nest inside
+    the group partition. Training words INSIDE each group's corpus
+    partition makes descent self-consistent: a query descriptor near a
+    database descriptor descends to the same group (both were quantized by
+    the same top level) and the word argmin then runs over the exact block
+    its word was trained in. Assignment cost is G + B distances per
+    descriptor (30x under flat at W=32k) on clients, server and workers
+    alike.
+
+    W = n_groups * words_per_group. Returns a Vocabulary whose
+    group_bits/child_idx encode the training-time hierarchy (child block g
+    is exactly words [g*B, (g+1)*B))."""
+    import numpy as np
+
+    G, B = n_groups, words_per_group
+    W = G * B
+    desc = np.asarray(descriptors)
+    n = desc.shape[0]
+    pad = (-n) % chunk
+    if pad:
+        desc = np.concatenate([desc, np.zeros((pad, 32), np.uint8)], 0)
+    weight_np = np.concatenate(
+        [np.ones(n, np.float32), np.zeros(pad, np.float32)])
+    bits_all = D.unpack_bits(jnp.asarray(desc))
+    n_chunks = bits_all.shape[0] // chunk
+    bits_chunks = bits_all.reshape(n_chunks, chunk, 256)
+    w_chunks = jnp.asarray(weight_np).reshape(n_chunks, chunk)
+
+    # ---- level 1: G group centers over the whole corpus ----------------
+    key = jax.random.PRNGKey(seed)
+    k1, k2 = jax.random.split(key)
+    init_idx = jax.random.choice(k1, n, (G,), replace=n < G)
+    gb = bits_all[init_idx]
+
+    @partial(jax.jit, donate_argnums=(1, 2))
+    def accum_l1(words, ones, counts, bits_c, w_c):
+        a = _assign(bits_c, words)
+        ones = ones + jax.ops.segment_sum(
+            bits_c.astype(jnp.int32) * w_c[:, None].astype(jnp.int32), a, G)
+        counts = counts + jax.ops.segment_sum(w_c.astype(jnp.int32), a, G)
+        return ones, counts
+
+    for _ in range(n_iters):
+        ones = jnp.zeros((G, 256), jnp.int32)
+        counts = jnp.zeros((G,), jnp.int32)
+        for c in range(n_chunks):
+            ones, counts = accum_l1(gb, ones, counts,
+                                    bits_chunks[c], w_chunks[c])
+        maj = (2 * ones > counts[:, None]).astype(jnp.int8)
+        gb = jnp.where((counts > 0)[:, None], maj, gb)
+
+    # ---- level 2: B words inside each group's corpus partition ---------
+    grp = np.empty(bits_all.shape[0], np.int32)
+    for c in range(n_chunks):
+        grp[c * chunk:(c + 1) * chunk] = np.asarray(_assign(bits_chunks[c], gb))
+    # Init: B member descriptors per group (host-side sampling; thin or
+    # empty groups recycle members / fall back to the group center).
+    rng = np.random.default_rng(seed + 7)
+    gb_np = np.asarray(gb, np.int8)
+    init_words = np.repeat(gb_np[:, None, :], B, axis=1).copy()  # [G, B, 256]
+    w_real = weight_np > 0
+    for g in range(G):
+        members = np.nonzero((grp == g) & w_real)[0]
+        if len(members):
+            pick = rng.choice(members, B, replace=len(members) < B)
+            init_words[g] = np.asarray(bits_all[jnp.asarray(pick)], np.int8)
+    words = jnp.asarray(init_words.reshape(W, 256))
+    grp_chunks = jnp.asarray(grp).reshape(n_chunks, chunk)
+
+    @partial(jax.jit, donate_argnums=(1, 2))
+    def accum_l2(words, ones, counts, bits_c, w_c, g_c):
+        blocks = words.reshape(G, B, 256)[g_c]              # [chunk, B, 256]
+        pa = jnp.sum(bits_c.astype(jnp.int32), axis=-1)
+        pb = jnp.sum(blocks.astype(jnp.int32), axis=-1)     # [chunk, B]
+        dot = jax.lax.dot_general(
+            bits_c, blocks,
+            dimension_numbers=(((1,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32,
+        )
+        j = jnp.argmin(pa[:, None] + pb - 2 * dot, axis=1)  # [chunk]
+        a = g_c * B + j.astype(jnp.int32)                   # global word id
+        ones = ones + jax.ops.segment_sum(
+            bits_c.astype(jnp.int32) * w_c[:, None].astype(jnp.int32), a, W)
+        counts = counts + jax.ops.segment_sum(w_c.astype(jnp.int32), a, W)
+        return ones, counts
+
+    counts = jnp.zeros((W,), jnp.int32)
+    for _ in range(n_iters):
+        ones = jnp.zeros((W, 256), jnp.int32)
+        counts = jnp.zeros((W,), jnp.int32)
+        for c in range(n_chunks):
+            ones, counts = accum_l2(words, ones, counts, bits_chunks[c],
+                                    w_chunks[c], grp_chunks[c])
+        maj = (2 * ones > counts[:, None]).astype(jnp.int8)
+        words = jnp.where((counts > 0)[:, None], maj, words)
+
+    n_total = jnp.maximum(jnp.sum(counts), 1)
+    idf = jnp.log(n_total.astype(jnp.float32) /
+                  jnp.maximum(counts.astype(jnp.float32), 1.0))
+    child = jnp.arange(W, dtype=jnp.int32).reshape(G, B)
+    return Vocabulary(word_bits=words, idf=idf, group_bits=gb,
+                      child_idx=child)
+
+
+def build_tree(voc: Vocabulary, n_groups: int = 1024, n_iters: int = 8,
+               seed: int = 0, dup: int = 4) -> Vocabulary:
     """Attach a 2-level descent tree to a flat vocabulary: k-majority
-    cluster the WORD centers into `n_groups` groups, bucket each word under
-    its nearest group with capacity spill to the next-nearest (fixed-shape
-    child blocks). Assignment quality matches DBoW2's greedy tree descent
-    — a query may land in a neighboring group and pick a near-identical
-    word, the same approximation the reference's tree makes."""
+    cluster the WORD centers into `n_groups` groups, then store each word
+    in the buckets of its `dup` NEAREST groups (fixed-shape child blocks).
+
+    Duplication is the accuracy lever: a post-hoc tree over an
+    already-trained flat vocabulary puts many descriptors nearer a word
+    whose bucket the greedy descent never opens (single-bucket placement
+    measured 41% word agreement with exact flat assignment and cost
+    held-out recall@1 0.86 -> 0.64, tools/vocab_tree_diag.py). Widening
+    the QUERY side (top_g descent) recovers agreement but multiplies query
+    cost; widening the STORAGE side instead puts each word where nearby
+    queries land, so a narrow top_g descent finds it — the multi-probe
+    trade LSH tables make. Capacity is sized at 2x the duplicated load so
+    placement virtually never spills away from a word's nearest groups."""
     import numpy as np
 
     W = voc.n_words
     G = min(n_groups, W)
+    dup = min(dup, G)
     key = jax.random.PRNGKey(seed + 101)
     init = voc.word_bits[jax.random.choice(key, W, (G,), replace=G > W)]
     gb, _ = _kmajority(voc.word_bits, init, G, n_iters)
-    # Distance of every word to every group center; bucket with capacity.
     d = np.asarray(D.hamming_matrix_bits(voc.word_bits, gb))  # [W, G]
     order = np.argsort(d, axis=1)
-    cmax = max(8, int(np.ceil(4 * W / G)))
+    cmax = max(8, int(np.ceil(2 * dup * W / G)))
     buckets: list = [[] for _ in range(G)]
-    for wi in range(W):
-        for gi in order[wi]:
-            if len(buckets[gi]) < cmax:
-                buckets[gi].append(wi)
-                break
+    # Rank-major placement: every word claims its rank-0 group before any
+    # word claims a rank-1 slot, so capacity contention degrades the
+    # OUTER probes first (exactly the slots that matter least).
+    placed = [set() for _ in range(W)]
+    for r in range(dup):
+        for wi in range(W):
+            for gi in order[wi, r:]:
+                if gi in placed[wi]:
+                    continue
+                if len(buckets[gi]) < cmax:
+                    buckets[gi].append(wi)
+                    placed[wi].add(gi)
+                    break
     child = np.full((G, cmax), -1, np.int32)
     for gi, b in enumerate(buckets):
         child[gi, : len(b)] = b
     return voc._replace(group_bits=gb, child_idx=jnp.asarray(child))
 
 
-def _assign_tree(bits: jnp.ndarray, voc: Vocabulary) -> jnp.ndarray:
-    """Two-level descent: nearest group, then argmin over its children.
-    Both stages are Hamming-via-matmul (d = pa + pb - 2 a.b), the same
-    MXU/BLAS-friendly lowering as the flat assignment."""
-    g = _assign(bits, voc.group_bits)              # [F]
-    kids = voc.child_idx[g]                        # [F, Cmax]
-    kb = voc.word_bits[jnp.clip(kids, 0)]          # [F, Cmax, 256] int8
+TREE_TOP_G = 2
+
+
+def _assign_tree(bits: jnp.ndarray, voc: Vocabulary,
+                 top_g: int = TREE_TOP_G) -> jnp.ndarray:
+    """Two-level descent: the `top_g` nearest groups, then argmin over the
+    union of their child blocks. Both stages are Hamming-via-matmul
+    (d = pa + pb - 2 a.b), the same MXU/BLAS-friendly lowering as the flat
+    assignment.
+
+    Greedy single-group descent (DBoW2's TemplatedVocabulary.h per-level
+    argmin) is too lossy for a POST-HOC tree: its nodes are true
+    hierarchical k-means clusters, ours bucket an already-trained flat
+    vocabulary, so boundary descriptors routinely sit nearer a word in the
+    second-best group (measured: 41% word agreement with flat assignment,
+    held-out recall@1 0.86 -> 0.64, tools/vocab_tree_diag.py). Descending
+    the best `top_g` groups recovers flat-assignment quality while still
+    scanning only top_g*Cmax of W words (1/16th at W=32k defaults). The
+    scan carries (best distance, best word) so peak memory stays one
+    [F, Cmax, 256] child-block gather regardless of top_g."""
+    dg = D.hamming_matrix_bits(bits, voc.group_bits)       # [F, G]
+    k = min(top_g, voc.group_bits.shape[0])
+    _, gsel = jax.lax.top_k(-dg, k)                        # [F, k]
     pa = jnp.sum(bits.astype(jnp.int32), axis=-1)          # [F]
-    pb = jnp.sum(kb.astype(jnp.int32), axis=-1)            # [F, Cmax]
-    dot = jax.lax.dot_general(
-        bits, kb,
-        dimension_numbers=(((1,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.int32,
-    )                                                      # [F, Cmax]
-    d = pa[:, None] + pb - 2 * dot
-    d = jnp.where(kids >= 0, d, 1 << 20)
-    return jnp.take_along_axis(
-        kids, jnp.argmin(d, axis=1)[:, None], axis=1)[:, 0]
+
+    def one_group(carry, g):
+        best_d, best_w = carry
+        kids = voc.child_idx[g]                            # [F, Cmax]
+        kb = voc.word_bits[jnp.clip(kids, 0)]              # [F, Cmax, 256]
+        pb = jnp.sum(kb.astype(jnp.int32), axis=-1)        # [F, Cmax]
+        dot = jax.lax.dot_general(
+            bits, kb,
+            dimension_numbers=(((1,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32,
+        )                                                  # [F, Cmax]
+        d = pa[:, None] + pb - 2 * dot
+        d = jnp.where(kids >= 0, d, 1 << 20)
+        j = jnp.argmin(d, axis=1)
+        dmin = jnp.take_along_axis(d, j[:, None], axis=1)[:, 0]
+        wmin = jnp.take_along_axis(kids, j[:, None], axis=1)[:, 0]
+        upd = dmin < best_d
+        return (jnp.where(upd, dmin, best_d),
+                jnp.where(upd, wmin, best_w)), None
+
+    F = bits.shape[0]
+    init = (jnp.full(F, 1 << 20, jnp.int32), jnp.zeros(F, jnp.int32))
+    (best_d, best_w), _ = jax.lax.scan(one_group, init, gsel.T)
+    return best_w
 
 
 @jax.jit

@@ -147,3 +147,72 @@ class TestVocabToolchain:
             s = np.asarray(V.l1_scores(view(pools[i]), db))
             hits += int(s.argmax() == i)
         assert hits >= 9, f"precision@1 {hits}/10"
+
+
+class TestHierarchicalVocab:
+    """train_hierarchical: the reference's actual DBoW2 construction
+    (TemplatedVocabulary::create / HKmeansStep — words trained inside their
+    group's corpus partition), so greedy tree descent is self-consistent.
+    The post-hoc build_tree path measured 41% descent/flat agreement and a
+    0.86 -> 0.64 held-out recall@1 drop (tools/vocab_tree_diag.py); these
+    tests pin the properties that fix demands."""
+
+    G, B = 16, 8
+
+    @pytest.fixture(scope="class")
+    def hvoc(self):
+        rng = np.random.default_rng(3)
+        centers = rng.integers(0, 256, size=(100, 32), dtype=np.uint8)
+        corpus = corrupt(rng, np.repeat(centers, 60, 0), 12)
+        voc = V.train_hierarchical(
+            corpus, n_groups=self.G, words_per_group=self.B, n_iters=5,
+            chunk=1500)
+        return voc, centers, rng
+
+    def test_shape_and_tree_structure(self, hvoc):
+        voc, _, _ = hvoc
+        assert voc.n_words == self.G * self.B
+        assert voc.group_bits.shape == (self.G, 256)
+        # Contiguous child blocks: group g owns words [g*B, (g+1)*B).
+        ci = np.asarray(voc.child_idx)
+        np.testing.assert_array_equal(
+            ci, np.arange(self.G * self.B).reshape(self.G, self.B))
+
+    def test_descent_is_self_consistent(self, hvoc):
+        """Two independently-corrupted views of the same patterns must land
+        on the same word almost always — the property that makes BoW
+        retrieval work, and the one a post-hoc tree breaks."""
+        voc, centers, rng = hvoc
+        base = np.repeat(centers, 4, 0)
+        b1 = D.unpack_bits(jnp.asarray(corrupt(rng, base, 12)))
+        b2 = D.unpack_bits(jnp.asarray(corrupt(rng, base, 12)))
+        a1 = np.asarray(V._assign_tree(b1, voc))
+        a2 = np.asarray(V._assign_tree(b2, voc))
+        assert (a1 == a2).mean() > 0.85, (a1 == a2).mean()
+
+    def test_descent_matches_flat_assignment(self, hvoc):
+        """Tree descent over a HIERARCHICALLY trained vocabulary agrees
+        with the exact flat argmin (the tree partitions nest)."""
+        voc, centers, rng = hvoc
+        bits = D.unpack_bits(jnp.asarray(corrupt(rng, centers, 12)))
+        at = np.asarray(V._assign_tree(bits, voc))
+        af = np.asarray(V._assign(bits, voc.word_bits))
+        assert (at == af).mean() > 0.9, (at == af).mean()
+
+    def test_save_load_preserves_tree(self, hvoc, tmp_path):
+        voc, _, _ = hvoc
+        p = str(tmp_path / "hvoc.npz")
+        V.save(voc, p)
+        voc2 = V.load(p)
+        np.testing.assert_array_equal(
+            np.asarray(voc.group_bits), np.asarray(voc2.group_bits))
+        np.testing.assert_array_equal(
+            np.asarray(voc.child_idx), np.asarray(voc2.child_idx))
+
+    def test_transform_uses_tree_and_normalizes(self, hvoc):
+        voc, centers, rng = hvoc
+        q = corrupt(rng, centers[:64], 8)
+        v = np.asarray(V.transform(voc, jnp.asarray(q), jnp.ones(64, bool)))
+        assert v.shape == (voc.n_words,)
+        assert abs(v.sum() - 1.0) < 1e-4
+        assert (v >= 0).all()
