@@ -202,7 +202,21 @@ class GlobalBARunner:
         # run the SAME dense LM loop with psum collectives (VERDICT r2 #3 —
         # the server's production GBA entry IS the distributed engine when
         # >1 chip is visible; dryrun_multichip exercises this same path).
-        if mesh is None and jax.device_count() > 1:
+        #
+        # Auto-meshing is restricted to REAL accelerator backends: on the
+        # xla_force_host_platform_device_count virtual-CPU mesh, XLA:CPU
+        # collectives rendezvous via N in-process threads with a 40 s
+        # *process-terminating* watchdog (rendezvous.cc). An ASYNC GBA
+        # thread running an all_gather while the main thread dispatches
+        # tracking programs oversubscribes the 2-core test host, half the
+        # rendezvous threads never get scheduled, and XLA aborts the whole
+        # process ("Termination timeout ... Exiting to ensure a consistent
+        # program state" — reproduced in the multi-loop e2e). Sharded-GBA
+        # correctness on the virtual mesh is covered where the main thread
+        # is quiescent: tests/test_parallel.py (explicit mesh) and
+        # __graft_entry__.dryrun_multichip.
+        if mesh is None and jax.device_count() > 1 \
+                and jax.default_backend() != "cpu":
             import numpy as _np
             from ..parallel import distributed_ba as dba
             mesh = jax.sharding.Mesh(
