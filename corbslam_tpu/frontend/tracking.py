@@ -606,6 +606,22 @@ class StereoTracker:
         self._kf_cursor_est += 1
         if self.mapping_queue_enabled:
             self._enqueue_mapping_stages(kf_row)
+            if self.sensor == "mono":
+                # Mono drains the mapping pipeline EAGERLY at every
+                # keyframe: triangulation is the only landmark source
+                # (LocalMapping.cc:190) and the amortized one-stage-per-
+                # frame drain lets stages from several keyframes
+                # interleave — fresh two-observation landmarks then meet a
+                # later keyframe's cull pass before fuse binds them, the
+                # map thins (observed 370 -> 330 pts while KF cadence
+                # doubled), the KF policy fires harder, and tracking
+                # spirals LOST inside half an orbit. The reference's
+                # mapping thread equally serializes full per-KF processing
+                # (LocalMapping::Run). Stereo/RGB-D keep the amortized
+                # drain: their landmarks spawn from per-frame depth at
+                # insertion, so stage freshness is not tracking-critical.
+                while self._stage_q:
+                    self._run_stage()
 
     def _enqueue_mapping_stages(self, kf_row: int):
         """Queue the per-keyframe LocalMapping pipeline (ref:
@@ -632,7 +648,9 @@ class StereoTracker:
         if nk % 2 == 0:
             q.append(lambda: setattr(
                 self, "map",
-                local_mapping.cull_map_points(self.map, kf_row, self.cfg)))
+                local_mapping.cull_map_points(
+                    self.map, kf_row, self.cfg,
+                    mono=self.sensor == "mono")))
             q.append(lambda: setattr(
                 self, "map",
                 local_mapping.refresh_point_geometry(

@@ -26,8 +26,9 @@ NO_MP = ms.NO_MP
 KF_DETACH_WINDOW = 16  # trailing keyframe rows scanned by the bounded passes
 
 
-@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
-def cull_map_points(m: ms.MapState, current_kf_row, cfg: SlamConfig) -> ms.MapState:
+@partial(jax.jit, static_argnames=("cfg", "mono"), donate_argnums=(0,))
+def cull_map_points(m: ms.MapState, current_kf_row, cfg: SlamConfig,
+                    mono: bool = False) -> ms.MapState:
     """MapPointCulling (ref: LocalMapping.cc:161): kill RECENTLY CREATED
     points whose found/visible ratio is poor, or that gathered too few
     observations within 2-4 keyframes of creation.
@@ -62,7 +63,12 @@ def cull_map_points(m: ms.MapState, current_kf_row, cfg: SlamConfig) -> ms.MapSt
         m.mp.n_visible[rows].astype(jnp.float32), 1.0
     )
     age = current_kf_row - m.mp.first_kf[rows]  # keyframe rows since creation
-    min_obs = 3  # stereo/RGB-D cnThObs (LocalMapping.cc:166)
+    # cnThObs (LocalMapping.cc:166): 2 for monocular, 3 for stereo/RGB-D.
+    # Mono landmarks are born with exactly TWO observations (two-view
+    # triangulation); demanding 3 inside the age-2..4 window culled most
+    # of the young mono map (observed 678 -> 387 pts over one orbit
+    # quarter) and spiralled tracking LOST.
+    min_obs = 2 if mono else 3
     bad_ratio = ratio < cfg.mapping.recent_point_min_found_ratio
     young_underobserved = (age >= 2) & (age <= 4) & (obs < min_obs)
     killr = (rok & m.mp.valid[rows] & ~m.mp.fixed[rows]

@@ -24,5 +24,6 @@ tests/test_transport.py tests/test_viz.py"
 python -m pytest $H1 -q "$@"
 python -m pytest tests/test_loop_e2e.py -q -k TestLoopClosureEndToEnd "$@"
 python -m pytest tests/test_loop_e2e.py -q -k TestMultiLoopEndToEnd "$@"
+python -m pytest tests/test_loop_e2e.py -q -k TestMonoLoopEndToEnd "$@"
 python -m pytest $H3 -q "$@"
-echo "SUITE GREEN (all four parts)"
+echo "SUITE GREEN (all five parts)"

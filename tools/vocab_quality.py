@@ -28,8 +28,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--n-per-lap", type=int, default=72)
-    ap.add_argument("--sizes", type=int, nargs="+",
+    ap.add_argument("--sizes", type=int, nargs="*",
                     default=[1024, 4096, 32768])
+    ap.add_argument("--artifacts", nargs="*", default=[],
+                    help="extra vocabulary npz files to evaluate by path")
     ap.add_argument("--tol-deg", type=float, default=12.0)
     args = ap.parse_args()
 
@@ -39,7 +41,14 @@ def main():
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+        # CPU runs must NOT read the TPU cache: XLA:CPU AOT entries embed
+        # the compile host's features and this container migrates across
+        # machine types (hostcache.py).
+        from corbslam_tpu.hostcache import configure_cpu_cache
+
+        configure_cpu_cache()
+    else:
+        jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
     import jax.numpy as jnp
 
     from corbslam_tpu.config import CapacityConfig, OrbConfig, SlamConfig
@@ -112,6 +121,8 @@ def main():
     gt_near = ang_dist(q_th, db_th) <= tol          # [Q, N] correct pairs
     gt_near_h = ang_dist(h_th, db_th) <= tol
 
+    from corbslam_tpu.place import database as db_mod
+
     def evaluate(voc, name, t_train):
         db_bow = vocab_mod.transform_many(
             voc, jnp.asarray(db_desc), jnp.asarray(db_valid))
@@ -131,19 +142,37 @@ def main():
             r5 = gt[np.arange(n)[:, None], order[:, :5]].any(1).mean()
             best_good = np.max(np.where(gt, scores, -np.inf), axis=1)
             best_bad = np.max(np.where(~gt, scores, -np.inf), axis=1)
-            return r1, r5, float(np.mean(best_good - best_bad))
+            # Verified retrieval: rerank the top-5 BoW shortlist by the
+            # mutual-NN descriptor match count — the verification every
+            # deployed consumer applies before acting on a candidate
+            # (reloc SearchByBoW+PnP, loop ComputeSim3, fusion geometric
+            # check). This is the retrieval quality of the STACK; the
+            # plain recall_at_1 is the vocabulary alone.
+            hits = 0
+            for i in range(n):
+                best, bm = int(order[i, 0]), -1
+                for c in order[i, :5]:
+                    mc = int(db_mod.count_mutual_matches(
+                        jnp.asarray(qd[i]), jnp.asarray(qv[i]),
+                        jnp.asarray(db_desc[c]), jnp.asarray(db_valid[c])))
+                    if mc > bm:
+                        best, bm = int(c), mc
+                hits += bool(gt[i, best])
+            return r1, r5, float(np.mean(best_good - best_bad)), hits / n
 
-        r1, r5, margin = retrieval(q_desc, q_valid, gt_near)
-        h1, h5, hmargin = retrieval(h_desc, h_valid, gt_near_h)
+        r1, r5, margin, rv = retrieval(q_desc, q_valid, gt_near)
+        h1, h5, hmargin, hv = retrieval(h_desc, h_valid, gt_near_h)
         res = {
             "vocab": name,
             "n_words": int(voc.n_words),
             "recall_at_1": round(float(r1), 4),
             "recall_at_5": round(float(r5), 4),
             "margin_good_vs_bad": round(margin, 4),
+            "recall_at_1_verified": round(float(rv), 4),
             "held_out_recall_at_1": round(float(h1), 4),
             "held_out_recall_at_5": round(float(h5), 4),
             "held_out_margin": round(hmargin, 4),
+            "held_out_recall_at_1_verified": round(float(hv), 4),
             "train_wall_s": round(t_train, 1),
         }
         results[name] = res
@@ -166,6 +195,8 @@ def main():
     art = vocab_mod.load_default()
     if art is not None:
         evaluate(art, "artifact32k", 0.0)
+    for p in args.artifacts:
+        evaluate(vocab_mod.load_any(p), os.path.basename(p), 0.0)
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(here, "VOCAB_QUALITY.json"), "w") as f:
